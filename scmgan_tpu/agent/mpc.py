@@ -1,0 +1,107 @@
+"""Model-predictive-control planner.
+
+The reference plans by looping in Python over candidate first actions, each
+spawning a beam of num_actions^lookahead futures rolled out ``rollout_depth``
+steps under a noop/random policy, taking the max cumulative reward per first
+action with negative reward weighted 10x (reference main.py:354-363 and
+compute_rollout_reward, main.py:455-489).  That is
+A * A^lookahead * depth transition evaluations per environment step, issued
+one Python call at a time.
+
+TPU-native: the ENTIRE search — all A^(lookahead+1) futures x depth steps —
+is one compiled ``scan`` over a batched transition, i.e. one kernel launch
+per environment step with the beam as the batch dimension feeding the MXU.
+"""
+
+from __future__ import annotations
+
+from functools import partial
+from typing import Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from scmgan_tpu.models.world_model import WorldModel, predict_reward, transition
+
+
+def _action_table(num_actions: int, lookahead: int, rollout_depth: int,
+                  rollout_policy: str, key: Optional[jax.Array]) -> jnp.ndarray:
+    """(width, rollout_depth + 1) int32 action plans.
+
+    Plan structure per future: [first_action, l1, l2, ..., noop/random...]
+    — first action enumerated, then an exhaustive lookahead block, then the
+    rollout policy (noop action index 0, reference main.py:467-471).
+    """
+    width = num_actions ** (lookahead + 1)
+    seqs = np.zeros((width, rollout_depth + 1), np.int64)
+    prefix = np.stack(np.meshgrid(
+        *[np.arange(num_actions)] * (lookahead + 1), indexing="ij"
+    ), axis=-1).reshape(width, lookahead + 1)
+    seqs[:, : lookahead + 1] = prefix
+    table = jnp.asarray(seqs, jnp.int32)
+    if rollout_policy == "random":
+        assert key is not None
+        tail = jax.random.randint(
+            key, (width, rollout_depth - lookahead), 0, num_actions)
+        table = table.at[:, lookahead + 1:].set(tail)
+    return table
+
+
+@partial(jax.jit, static_argnames=("num_actions", "lookahead", "rollout_depth",
+                                   "rollout_policy", "negative_positive_tradeoff"))
+def rollout_reward_table(
+    params: WorldModel,
+    z: jax.Array,
+    num_actions: int,
+    lookahead: int = 2,
+    rollout_depth: int = 12,
+    rollout_policy: str = "noop",
+    negative_positive_tradeoff: float = 10.0,
+    key: Optional[jax.Array] = None,
+):
+    """Expected best cumulative reward per first action.
+
+    z: (1, H, W, L) current latent state.  Returns (num_actions,) scores:
+    score[a] = max over a's beam of sum_r(tradeoff-weighted cumulative
+    reward), replicating compute_rollout_reward (main.py:455-489) with the
+    first-action loop folded into the same batch.
+    """
+    table = _action_table(num_actions, lookahead, rollout_depth,
+                          rollout_policy, key)
+    width = table.shape[0]
+    z_beam = jnp.broadcast_to(z, (width,) + z.shape[1:])
+    a0 = jax.nn.one_hot(table[:, 0], num_actions, dtype=z.dtype)
+    z_beam = transition(params.transition, z_beam, a0, train=False)
+    cumulative = predict_reward(params.reward_predictor, z_beam)
+
+    def step(carry, a_t):
+        z_beam, cum = carry
+        a_oh = jax.nn.one_hot(a_t, num_actions, dtype=z_beam.dtype)
+        z_beam = transition(params.transition, z_beam, a_oh, train=False)
+        z_beam = jax.lax.stop_gradient(z_beam)
+        cum = cum + predict_reward(params.reward_predictor, z_beam)
+        return (z_beam, cum), None
+
+    (_, cumulative), _ = jax.lax.scan(
+        step, (z_beam, cumulative), jnp.swapaxes(table[:, 1:], 0, 1))
+
+    # Heuristic caution: weight reward channel 0 (main.py:483-484).
+    cumulative = cumulative.at[:, 0].multiply(negative_positive_tradeoff)
+    scores = jnp.sum(cumulative, axis=1)                      # (width,)
+    per_first = scores.reshape(num_actions, -1)               # (A, A^lookahead)
+    return jnp.max(per_first, axis=1)
+
+
+def make_planner(params: WorldModel, num_actions: int, lookahead: int = 2,
+                 rollout_depth: int = 12, rollout_policy: str = "noop",
+                 negative_positive_tradeoff: float = 10.0):
+    """Returns plan(z, key=None) -> (best_action, scores)."""
+
+    def plan(z, key=None):
+        scores = rollout_reward_table(
+            params, z, num_actions, lookahead, rollout_depth,
+            rollout_policy, negative_positive_tradeoff, key=key)
+        return int(jnp.argmax(scores)), scores
+
+    return plan

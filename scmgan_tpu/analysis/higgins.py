@@ -1,0 +1,123 @@
+"""Higgins et al. beta-VAE disentanglement metric.
+
+Protocol parity with the reference (reference higgins.py:22-155): generate
+image pairs sharing exactly one ground-truth factor via the env's
+``simulator``, encode both, average |z_left - z_right| over L=5 draws, and
+train a linear classifier to predict *which* factor was shared; the metric
+is the classifier's accuracy.  Two variants: flat latents
+(``higgins_metric``) and conv latents with spatially-summed z-diffs
+(``higgins_metric_conv``, reference higgins.py:90-155).
+
+TPU-native: the classifier (a single linear layer + Adam, reference
+higgins.py:7-15) trains with a jitted optax step; image generation stays in
+the simulator (host or device depending on the env).
+"""
+
+from __future__ import annotations
+
+from typing import Callable, Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import optax
+
+
+def _train_classifier(z_diffs: jnp.ndarray, labels: jnp.ndarray,
+                      num_classes: int, train_iters: int,
+                      key: jax.Array, lr: float = 1e-3):
+    """Linear softmax classifier on z-diff vectors; returns params."""
+    dim = z_diffs.shape[-1]
+    w = jnp.zeros((dim, num_classes), jnp.float32)
+    b = jnp.zeros((num_classes,), jnp.float32)
+    opt = optax.adam(lr)
+    opt_state = opt.init((w, b))
+
+    @jax.jit
+    def step(params, opt_state, x, y):
+        def loss_fn(p):
+            logits = x @ p[0] + p[1]
+            return optax.softmax_cross_entropy_with_integer_labels(
+                logits, y).mean()
+
+        loss, grads = jax.value_and_grad(loss_fn)(params)
+        updates, opt_state = opt.update(grads, opt_state, params)
+        return optax.apply_updates(params, updates), opt_state, loss
+
+    params = (w, b)
+    n = z_diffs.shape[0]
+    batch = min(256, n)
+    for i in range(train_iters):
+        k = jax.random.fold_in(key, i)
+        idx = jax.random.randint(k, (batch,), 0, n)
+        params, opt_state, _ = step(params, opt_state, z_diffs[idx],
+                                    labels[idx])
+    return params
+
+
+def _collect_z_diffs(simulator, encoder_fn, true_latent_dim: int,
+                     encoded_latent_dim: int, batches: int, batch_size: int,
+                     rng: np.random.Generator, conv: bool, L: int = 5):
+    """Build the (num_samples, encoded_latent_dim) z-diff dataset + labels.
+
+    Mirrors generate_equivariance_test_batch (reference higgins.py:35-56):
+    each pair of factor vectors shares exactly one randomly-chosen factor.
+    """
+    all_diffs, all_labels = [], []
+    for _ in range(batches):
+        y = rng.integers(0, true_latent_dim, size=batch_size)
+        diffs = np.zeros((L, batch_size, encoded_latent_dim), np.float32)
+        for l in range(L):
+            factors = rng.uniform(size=(batch_size, 2, true_latent_dim))
+            factors[np.arange(batch_size), 0, y] = factors[
+                np.arange(batch_size), 1, y]
+            left = np.asarray(simulator(factors[:, 0]), np.float32)
+            right = np.asarray(simulator(factors[:, 1]), np.float32)
+            zl = np.asarray(encoder_fn(jnp.asarray(left)))
+            zr = np.asarray(encoder_fn(jnp.asarray(right)))
+            d = np.abs(zl - zr)
+            if conv:
+                # conv latents: sum over spatial dims (higgins.py:121-122)
+                d = d.sum(axis=(1, 2))
+            diffs[l] = d.reshape(batch_size, -1)
+        all_diffs.append(diffs.mean(axis=0))
+        all_labels.append(y)
+    return (np.concatenate(all_diffs), np.concatenate(all_labels))
+
+
+def higgins_metric(simulator: Callable, true_latent_dim: int,
+                   encoder_fn: Callable, encoded_latent_dim: int,
+                   batch_size: int = 32, train_iters: int = 200,
+                   seed: int = 0, conv: bool = False,
+                   test_batches: int = 8) -> float:
+    """Returns test accuracy of the factor classifier (the metric)."""
+    rng = np.random.default_rng(seed)
+    key = jax.random.PRNGKey(seed)
+    n_batches = max(4, train_iters // 20)
+    z_diffs, labels = _collect_z_diffs(
+        simulator, encoder_fn, true_latent_dim, encoded_latent_dim,
+        n_batches, batch_size, rng, conv)
+    # normalize for stable linear training
+    scale = z_diffs.std() + 1e-8
+    z_train = jnp.asarray(z_diffs / scale)
+    y_train = jnp.asarray(labels)
+    params = _train_classifier(z_train, y_train, true_latent_dim,
+                               train_iters, key)
+
+    zt, yt = _collect_z_diffs(
+        simulator, encoder_fn, true_latent_dim, encoded_latent_dim,
+        test_batches, batch_size, rng, conv)
+    logits = jnp.asarray(zt / scale) @ params[0] + params[1]
+    acc = float((jnp.argmax(logits, -1) == jnp.asarray(yt)).mean())
+    print(f"Higgins metric test accuracy: {acc:.4f}")
+    return acc
+
+
+def higgins_metric_conv(simulator, true_latent_dim, encoder_fn,
+                        encoded_latent_dim, batch_size: int = 16,
+                        train_iters: int = 100, seed: int = 0) -> float:
+    """Conv-latent variant (reference higgins.py:90-155): z-diffs are summed
+    over the spatial dimensions of the latent map before classification."""
+    return higgins_metric(simulator, true_latent_dim, encoder_fn,
+                          encoded_latent_dim, batch_size=batch_size,
+                          train_iters=train_iters, seed=seed, conv=True)

@@ -1,0 +1,174 @@
+"""Command-line entry point with the reference's exact flag surface
+(reference main.py:25-51): ``python main.py --env pong --train-iters ...``,
+``--evaluate`` mode running N MPC playthroughs + a training-set evaluation
+(main.py:92-99), checkpoint load via --load-from, and all training-objective
+flags.
+"""
+
+from __future__ import annotations
+
+import argparse
+import sys
+
+import jax
+
+
+def build_parser() -> argparse.ArgumentParser:
+    p = argparse.ArgumentParser(
+        description="Learn to model a sequential environment (TPU-native)")
+    p.add_argument("--env", required=True,
+                   help="One of: pong, gridworld, gameoflife, minipacman, ... "
+                        "(see scmgan_tpu/envs for the registry)")
+    p.add_argument("--load-from", type=str, default=None,
+                   help="Directory containing model-*.npz checkpoints")
+    p.add_argument("--evaluate", action="store_true")
+    p.add_argument("--evaluations", type=int, default=1)
+    p.add_argument("--title", type=str, default=None)
+    p.add_argument("--batch-size", type=int, default=32)
+    p.add_argument("--train-iters", type=int, default=10000)
+    p.add_argument("--start-iter", type=int, default=1)
+    p.add_argument("--truncate-bptt", action="store_true")
+    p.add_argument("--latent-overshooting", action="store_true")
+    p.add_argument("--latent-td", action="store_true")
+    p.add_argument("--td-lambda", type=float, default=0.9)
+    p.add_argument("--td-steps", type=int, default=3)
+    p.add_argument("--horizon-min", type=int, default=3)
+    p.add_argument("--horizon-max", type=int, default=10)
+    p.add_argument("--learning-rate", type=float, default=1e-4)
+    p.add_argument("--finetune-reward", action="store_true")
+    p.add_argument("--reward-coef", type=float, default=1e-3)
+    p.add_argument("--activation-l1-coef", type=float, default=1e-2)
+    p.add_argument("--transition-l1-coef", type=float, default=1e-2)
+    p.add_argument("--enable-action-control-loss", action="store_true")
+    p.add_argument("--enable-disentanglement-loss", action="store_true")
+    p.add_argument("--counterfactual-horizon", type=int, default=1)
+    # TPU-native extras
+    p.add_argument("--seed", type=int, default=0)
+    p.add_argument("--out-dir", type=str, default=".")
+    p.add_argument("--compute-dtype", type=str, default="bfloat16")
+    p.add_argument("--mesh", type=str, default=None,
+                   help="Device mesh as DATAxMODEL, e.g. 4x2")
+    p.add_argument("--no-videos", action="store_true")
+    p.add_argument("--platform", type=str, default=None,
+                   help="Force a JAX platform (e.g. cpu) — useful for "
+                        "debugging off-TPU")
+    p.add_argument("--eval-batch-size", type=int, default=100)
+    p.add_argument("--eval-timesteps", type=int, default=100)
+    p.add_argument("--iters-per-video", type=int, default=2000,
+                   help="Evaluate + checkpoint every N iters "
+                        "(ITERS_PER_VIDEO in the reference)")
+    return p
+
+
+def config_from_args(args):
+    from scmgan_tpu.config import Config
+
+    mesh_shape = None
+    if args.mesh:
+        d, m = args.mesh.lower().split("x")
+        mesh_shape = (int(d), int(m))
+    return Config(
+        env=args.env,
+        load_from=args.load_from,
+        evaluate=args.evaluate,
+        evaluations=args.evaluations,
+        title=args.title,
+        batch_size=args.batch_size,
+        train_iters=args.train_iters,
+        start_iter=args.start_iter,
+        truncate_bptt=args.truncate_bptt,
+        latent_overshooting=args.latent_overshooting,
+        latent_td=args.latent_td,
+        td_lambda=args.td_lambda,
+        td_steps=args.td_steps,
+        horizon_min=args.horizon_min,
+        horizon_max=args.horizon_max,
+        learning_rate=args.learning_rate,
+        finetune_reward=args.finetune_reward,
+        reward_coef=args.reward_coef,
+        activation_l1_coef=args.activation_l1_coef,
+        transition_l1_coef=args.transition_l1_coef,
+        enable_action_control_loss=args.enable_action_control_loss,
+        enable_disentanglement_loss=args.enable_disentanglement_loss,
+        counterfactual_horizon=args.counterfactual_horizon,
+        seed=args.seed,
+        out_dir=args.out_dir,
+        compute_dtype=args.compute_dtype,
+        mesh_shape=mesh_shape,
+        eval_batch_size=args.eval_batch_size,
+        eval_timesteps=args.eval_timesteps,
+        iters_per_video=args.iters_per_video,
+    )
+
+
+def main(argv=None):
+    import os
+
+    args = build_parser().parse_args(argv)
+    if args.platform:
+        jax.config.update("jax_platforms", args.platform)
+    cfg = config_from_args(args)
+    os.makedirs(cfg.out_dir, exist_ok=True)
+
+    from scmgan_tpu.agent.play import play
+    from scmgan_tpu.analysis.evaluate import evaluate
+    from scmgan_tpu.data import allocate_datasource
+    from scmgan_tpu.train import checkpoint as ckpt
+    from scmgan_tpu.train.trainer import init_train_state, train
+    from scmgan_tpu.utils.timeseries import TimeSeries
+
+    datasource = allocate_datasource(cfg.env, seed=cfg.seed)
+    key = jax.random.PRNGKey(cfg.seed)
+    key, init_key = jax.random.split(key)
+    state = init_train_state(cfg, datasource.spec, init_key)
+
+    if cfg.load_from is None:
+        print("No --load-from directory specified: initializing new networks")
+    else:
+        print(f"Loading models from directory {cfg.load_from}")
+        state = ckpt.load_train_state(cfg.load_from, state)
+
+    mesh = None
+    if cfg.mesh_shape is not None:
+        from scmgan_tpu.parallel import make_mesh
+
+        mesh = make_mesh(cfg.mesh_shape)
+
+    if cfg.evaluate:
+        for _ in range(cfg.evaluations):
+            play(state.params, datasource,
+                 max_steps=cfg.mpc_max_steps,
+                 rollout_depth=cfg.mpc_rollout_depth,
+                 lookahead=cfg.mpc_lookahead,
+                 negative_positive_tradeoff=cfg.mpc_negative_tradeoff,
+                 out_dir=cfg.out_dir)
+        print(f"Finished {cfg.evaluations} playthroughs")
+        evaluate(state.params, datasource, train_iter=cfg.start_iter,
+                 use_training_set=True, out_dir=cfg.out_dir,
+                 make_videos=not args.no_videos)
+    else:
+        ts = TimeSeries("Training Model", cfg.train_iters, tensorboard=True)
+
+        def log_fn(i, metrics):
+            ts.collect_dict({k: v for k, v in metrics.items()})
+            ts.print_every(10)
+
+        def eval_fn(state, train_iter):
+            evaluate(state.params, datasource, train_iter=train_iter,
+                     out_dir=cfg.out_dir, make_videos=not args.no_videos,
+                     eval_batch_size=cfg.eval_batch_size,
+                     eval_timesteps=cfg.eval_timesteps)
+
+        def checkpoint_fn(state, train_iter):
+            print("Saving networks to filesystem...")
+            ckpt.save_train_state(cfg.out_dir, state)
+
+        train(cfg, datasource, state, mesh_and_rules=mesh, eval_fn=eval_fn,
+              checkpoint_fn=checkpoint_fn, log_fn=log_fn, key=key)
+        print(ts)
+        print("Finished")
+    print("Finished execution, terminating")
+
+
+if __name__ == "__main__":
+    main()

@@ -1,0 +1,272 @@
+"""Replay buffer + background actor for host-process environments.
+
+Generalizes the reference's per-env copy-pasted pattern
+(reference envs/minipacman.py:12-164, envs/atari.py:11-128,
+envs/sc2_star_intruders.py:12-151) into one reusable component:
+
+  * a daemon actor thread plays episodes forever and fills the buffer
+    (envs/minipacman.py:50-71)
+  * 80/20 train/test split buffers (envs/minipacman.py:112-119)
+  * reservoir-style random replacement beyond capacity
+    (envs/minipacman.py:115-119)
+  * environment recycled every MAX_EPISODES_PER_ENVIRONMENT episodes to
+    flush emulator leaks (envs/minipacman.py:68-70)
+  * actor-liveness check that raises in the trainer
+    (envs/minipacman.py:126-128)
+  * blocking wait until MIN_REPLAY_BUFFER_LEN episodes exist
+    (envs/minipacman.py:133-136)
+  * trajectory-clip stitching to exactly ``timesteps`` steps with a
+    synthetic done at clip joins (envs/minipacman.py:139-164)
+
+Improvement over the reference (SURVEY §5 race note): buffers are guarded
+by a lock instead of relying on the GIL over bare-list mutation.
+"""
+
+from __future__ import annotations
+
+import threading
+import time
+from typing import Callable, List, Optional, Tuple
+
+import numpy as np
+
+Episode = Tuple[np.ndarray, np.ndarray, np.ndarray]  # states, rewards, actions
+
+
+class ReplayBuffer:
+    def __init__(self, capacity: int = 50, test_holdout: float = 0.20,
+                 seed: int = 0):
+        self.capacity = capacity
+        self.test_holdout = test_holdout
+        self._train: List[Episode] = []
+        self._test: List[Episode] = []
+        self._lock = threading.Lock()
+        self._rng = np.random.default_rng(seed)
+
+    def add(self, episode: Episode):
+        with self._lock:
+            buf = (self._train
+                   if self._rng.random() > self.test_holdout else self._test)
+            if len(buf) < self.capacity:
+                buf.append(episode)
+            else:
+                buf[self._rng.integers(0, self.capacity)] = episode
+
+    def __len__(self):
+        with self._lock:
+            return len(self._train)
+
+    def size(self, training: bool = True):
+        with self._lock:
+            return len(self._train if training else self._test)
+
+    def sample_episode(self, training: bool = True) -> Episode:
+        with self._lock:
+            buf = self._train if training else self._test
+            return buf[self._rng.integers(0, len(buf))]
+
+
+class HostActor:
+    """Daemon thread playing episodes of a host env into a ReplayBuffer."""
+
+    def __init__(
+        self,
+        make_env: Callable[[], object],
+        buffer: ReplayBuffer,
+        num_rewards: int,
+        convert_frame: Callable = lambda s: s,
+        policy: Optional[Callable] = None,
+        max_trajectory_len: int = 150,
+        max_episodes_per_env: int = 500,
+        episode_sleep: float = 0.0,
+    ):
+        self.make_env = make_env
+        self.buffer = buffer
+        self.num_rewards = num_rewards
+        self.convert_frame = convert_frame
+        self.policy = policy
+        self.max_trajectory_len = max_trajectory_len
+        self.max_episodes_per_env = max_episodes_per_env
+        self.episode_sleep = episode_sleep
+        self.episodes_played = 0
+        self._thread: Optional[threading.Thread] = None
+        self.error: Optional[BaseException] = None
+
+    def start(self):
+        self._thread = threading.Thread(target=self._run, daemon=True)
+        self._thread.start()
+
+    def is_alive(self) -> bool:
+        return self._thread is not None and self._thread.is_alive()
+
+    def _run(self):
+        env = self.make_env()
+        try:
+            while True:
+                self._play_episode(env)
+                self.episodes_played += 1
+                if (self.episodes_played % self.max_episodes_per_env) == 0:
+                    # recycle the env to flush emulator/game-process leaks
+                    try:
+                        close = getattr(env, "close", None)
+                        if close:
+                            close()
+                    finally:
+                        env = self.make_env()
+                if self.episode_sleep:
+                    time.sleep(self.episode_sleep)
+        except BaseException as e:  # surfaced to the trainer via liveness
+            self.error = e
+            raise
+
+    def _play_episode(self, env):
+        states, rewards, actions = [], [], []
+        state = env.reset()
+        reward = np.zeros(self.num_rewards)
+        done = False
+        while True:
+            if self.policy is not None:
+                action = self.policy(state)
+            else:
+                action = env.action_space.sample()
+            states.append(np.asarray(self.convert_frame(state)))
+            rewards.append(np.asarray(reward, np.float32).copy())
+            actions.append(action)
+            if len(states) >= self.max_trajectory_len:
+                done = True
+            if done:
+                break
+            state, reward_sum, done, info = env.step(action)
+            reward = self._split_reward(reward_sum, info)
+        self.buffer.add((np.array(states), np.array(rewards),
+                         np.array(actions)))
+
+    def _split_reward(self, reward_sum, info):
+        """(positive, negative) channel split (envs/minipacman.py:104-106)
+        when num_rewards == 2; raw scalar/vector otherwise."""
+        if self.num_rewards == 2 and np.isscalar(reward_sum):
+            return np.array([max(0.0, reward_sum), min(0.0, reward_sum)],
+                            np.float32)
+        return np.atleast_1d(np.asarray(reward_sum, np.float32))
+
+
+class HostReplayDatasource:
+    """Datasource facade over a HostActor + ReplayBuffer pair, exposing the
+    reference's ``get_trajectories`` contract for host-process envs."""
+
+    def __init__(self, make_env, num_actions: int, num_rewards: int,
+                 channels: int, convert_frame=lambda s: s,
+                 min_buffer_len: int = 4, capacity: int = 50,
+                 max_trajectory_len: int = 150, seed: int = 0,
+                 policy=None):
+        self.binary_input_channels = num_actions
+        self.scalar_output_channels = num_rewards
+        self.conv_input_channels = channels
+        self.conv_output_channels = channels
+        self.min_buffer_len = min_buffer_len
+        self._make_env = make_env
+        self._convert = convert_frame
+        self.buffer = ReplayBuffer(capacity=capacity, seed=seed)
+        self.actor = HostActor(make_env, self.buffer, num_rewards,
+                               convert_frame, policy=policy,
+                               max_trajectory_len=max_trajectory_len)
+        self._started = False
+        self._rng = np.random.default_rng(seed)
+
+    def _ensure_started(self):
+        if not self._started:
+            self.actor.start()
+            self._started = True
+        if not self.actor.is_alive():
+            raise RuntimeError(
+                f"Simulator thread crashed: {self.actor.error!r}")
+
+    def make_env(self, *args, **kwargs):
+        return self._make_env(*args, **kwargs)
+
+    def convert_frame(self, state):
+        s = self._convert(state)
+        return s, s
+
+    def get_trajectories(self, batch_size: int = 8, timesteps: int = 10,
+                         random_start: bool = True, training: bool = True,
+                         policy: str = "random"):
+        """Sample + stitch clips to exactly ``timesteps`` steps
+        (envs/minipacman.py:139-164).  Uses the native C stitcher when
+        available (scmgan_tpu/native/src/stitcher.c); falls back to the
+        Python loop."""
+        self._ensure_started()
+        while self.buffer.size(training) < self.min_buffer_len:
+            print("Waiting for replay buffer to fill, buffer size {}/{}..."
+                  .format(self.buffer.size(training), self.min_buffer_len))
+            time.sleep(1)
+            self._ensure_started()
+
+        native = self._try_native_stitch(batch_size, timesteps, random_start,
+                                         training)
+        if native is not None:
+            return native
+
+        states_b, rewards_b, dones_b, actions_b = [], [], [], []
+        for _ in range(batch_size):
+            states, rewards, actions, dones = [], [], [], []
+            remaining = timesteps
+            while remaining > 0:
+                ep_s, ep_r, ep_a = self.buffer.sample_episode(training)
+                if random_start and len(ep_s) > 4:
+                    start = self._rng.integers(0, len(ep_s) - 3)
+                else:
+                    start = 0
+                end = min(start + remaining, len(ep_s) - 1)
+                duration = end - start
+                if duration <= 0:
+                    continue
+                states.extend(ep_s[start:end])
+                rewards.extend(ep_r[start:end])
+                actions.extend(ep_a[start:end])
+                dones.extend([False] * (duration - 1) + [True])
+                remaining -= duration
+            states_b.append(np.array(states))
+            rewards_b.append(np.array(rewards))
+            dones_b.append(np.array(dones))
+            actions_b.append(np.array(actions))
+        return (np.array(states_b), np.array(rewards_b),
+                np.array(dones_b), np.array(actions_b))
+
+    def _try_native_stitch(self, batch_size, timesteps, random_start,
+                           training):
+        """Concatenate the buffer's episodes into contiguous arenas and let
+        the C stitcher assemble the batch in one pass."""
+        try:
+            from scmgan_tpu.native import stitch_batch
+        except Exception:
+            return None
+        with self.buffer._lock:
+            episodes = list(self.buffer._train if training
+                            else self.buffer._test)
+        if not episodes:
+            return None
+        frames = np.concatenate([e[0] for e in episodes]).astype(np.float32)
+        rewards = np.concatenate([e[1] for e in episodes]).astype(np.float32)
+        actions = np.concatenate(
+            [np.asarray(e[2]).reshape(-1) for e in episodes]).astype(np.int32)
+        lengths = np.array([len(e[0]) for e in episodes], np.int32)
+        offsets = np.concatenate([[0], np.cumsum(lengths)[:-1]]).astype(
+            np.int64)
+        if rewards.ndim == 1:
+            rewards = rewards[:, None]
+        seed = int(self._rng.integers(1, 2 ** 62))
+        return stitch_batch(frames, rewards, actions, offsets, lengths,
+                            batch_size, timesteps,
+                            random_start=random_start, seed=seed)
+
+    def collect(self, batch_size: int, timesteps: int, policy: str = "random",
+                key=None):
+        """Device-native view: NHWC float32 jnp arrays."""
+        import jax.numpy as jnp
+
+        states, rewards, dones, actions = self.get_trajectories(
+            batch_size, timesteps)
+        obs = jnp.asarray(np.moveaxis(states, 2, -1), jnp.float32)
+        return (obs, jnp.asarray(rewards, jnp.float32),
+                jnp.asarray(dones), jnp.asarray(actions, jnp.int32))

@@ -1,0 +1,70 @@
+"""GridWorld: a ball moved by 4 actions on a 16x16 court.
+
+Pure-JAX port-equivalent of reference envs/gridworld.py:17-97 — +-1 reward
+when the ball reaches the right/left wall, no terminal state.
+"""
+
+from __future__ import annotations
+
+from typing import NamedTuple
+
+import jax
+import jax.numpy as jnp
+
+from scmgan_tpu.envs.base import EnvSpec, register
+from scmgan_tpu.envs.raster import rect_mask
+
+CHANNELS = 3
+GAME_SIZE = 16
+BALL_RADIUS = 2
+NUM_ACTIONS = 4
+NUM_REWARDS = 1
+MARGIN_X = 2
+MARGIN_Y = 2
+
+
+class State(NamedTuple):
+    ball_x: jax.Array  # int32
+    ball_y: jax.Array  # int32
+
+
+def reset(key: jax.Array) -> State:
+    kx, ky = jax.random.split(key)
+    return State(
+        ball_x=jax.random.randint(kx, (), MARGIN_X, GAME_SIZE - MARGIN_X),
+        ball_y=jax.random.randint(ky, (), MARGIN_Y, GAME_SIZE - MARGIN_Y),
+    )
+
+
+def step(state: State, action: jax.Array, key: jax.Array):
+    # Actions: 0 up, 1 down, 2 left, 3 right (reference envs/gridworld.py:29-42).
+    dy = jnp.where(action == 0, -3, jnp.where(action == 1, 3, 0))
+    dx = jnp.where(action == 2, -3, jnp.where(action == 3, 3, 0))
+    ball_y = jnp.clip(state.ball_y + dy, MARGIN_Y, GAME_SIZE - MARGIN_Y)
+    ball_x = jnp.clip(state.ball_x + dx, 0, GAME_SIZE)
+    reward = jnp.where(
+        ball_x >= GAME_SIZE, 1.0, jnp.where(ball_x <= 0, -1.0, 0.0)
+    )
+    return State(ball_x, ball_y), reward[None].astype(jnp.float32), jnp.bool_(False)
+
+
+def render(state: State) -> jax.Array:
+    frame = jnp.zeros((GAME_SIZE, GAME_SIZE, CHANNELS), jnp.float32)
+    ball = rect_mask(GAME_SIZE, GAME_SIZE, state.ball_x, state.ball_y,
+                     BALL_RADIUS, BALL_RADIUS)
+    return frame.at[:, :, 1].set(ball)
+
+
+@register("gridworld")
+def make_spec() -> EnvSpec:
+    return EnvSpec(
+        name="gridworld",
+        num_actions=NUM_ACTIONS,
+        num_rewards=NUM_REWARDS,
+        channels=CHANNELS,
+        height=GAME_SIZE,
+        width=GAME_SIZE,
+        reset=reset,
+        step=step,
+        render=render,
+    )

@@ -1,0 +1,9 @@
+from scmgan_tpu.models.world_model import (  # noqa: F401
+    WorldModel,
+    init_world_model,
+    encode,
+    decode,
+    transition,
+    predict_reward,
+    discriminate,
+)

@@ -1,0 +1,97 @@
+"""Device mesh + sharding rules: data parallelism over the batch axis and
+tensor parallelism over the conv channel axes, via GSPMD.
+
+The reference is strictly single-GPU — `.cuda()` at module construction and
+per-iteration host->device uploads (reference models.py:57,137,233,268;
+main.py:156-158) with no collective backend at all (SURVEY §2.7).  The
+TPU-native scale-out story is declarative: build a `Mesh(('data','model'))`,
+place params/batch with NamedShardings, and let XLA GSPMD insert the ICI
+collectives (all-gather/reduce-scatter around the channel-sharded convs,
+gradient psums across 'data').  No NCCL, no MPI, no hand-written comms in
+the train step.
+
+Rules (shape-based, so the same rule shards params, Adam mu/nu, and any
+other param-shaped leaf):
+  * 4-D HWIO conv kernels: out-channel (last) dim over 'model'
+  * 2-D (in, out) linear weights: out dim over 'model'
+  * 1-D vectors (biases, SN u/v): over 'model'
+  * everything else (scalars, counts): replicated
+  * batch leaves: leading dim over 'data'
+a dim is only sharded when divisible by the axis size.
+"""
+
+from __future__ import annotations
+
+from typing import Optional, Tuple
+
+import jax
+import numpy as np
+from jax.experimental import mesh_utils
+from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+
+
+def make_mesh(
+    shape: Optional[Tuple[int, int]] = None,
+    axis_names: Tuple[str, str] = ("data", "model"),
+    devices=None,
+) -> Mesh:
+    """Create a 2-axis device mesh.  Default: all devices on 'data'."""
+    if devices is None:
+        devices = jax.devices()
+    n = len(devices)
+    if shape is None:
+        shape = (n, 1)
+    assert shape[0] * shape[1] == n, (shape, n)
+    dev_array = mesh_utils.create_device_mesh(shape, devices=np.asarray(devices))
+    return Mesh(dev_array, axis_names)
+
+
+def leaf_spec(shape: Tuple[int, ...], model_size: int, model_axis: str) -> P:
+    """Shape-based tensor-parallel partition spec for a param-like leaf."""
+    if model_size <= 1 or len(shape) == 0:
+        return P()
+    last = shape[-1]
+    if last % model_size != 0 or last < model_size:
+        return P()
+    if len(shape) == 4:  # HWIO conv kernel
+        return P(None, None, None, model_axis)
+    if len(shape) == 2:  # linear (in, out)
+        return P(None, model_axis)
+    if len(shape) == 1:  # bias / sn vectors
+        return P(model_axis)
+    return P()
+
+
+def param_shardings(tree, mesh: Mesh, model_axis: str = "model"):
+    model_size = mesh.shape[model_axis]
+    return jax.tree.map(
+        lambda l: NamedSharding(mesh, leaf_spec(l.shape, model_size, model_axis)),
+        tree,
+    )
+
+
+def batch_shardings(batch, mesh: Mesh, data_axis: str = "data"):
+    return jax.tree.map(
+        lambda l: NamedSharding(mesh, P(data_axis)), batch
+    )
+
+
+def shard_pytree(tree, shardings):
+    return jax.tree.map(jax.device_put, tree, shardings)
+
+
+def shard_train_step(step_fn, mesh: Mesh, data_axis: str = "data",
+                     model_axis: str = "model"):
+    """Wrap a train step so state/batch are committed to the mesh; jit then
+    follows the data placement and GSPMD inserts collectives.
+
+    Returned fn(state, batch, key, theta, cf_active) -> (state, metrics).
+    """
+    jitted = jax.jit(step_fn, donate_argnums=(0,))
+
+    def wrapper(state, batch, key, theta, cf_active):
+        state = shard_pytree(state, param_shardings(state, mesh, model_axis))
+        batch = shard_pytree(batch, batch_shardings(batch, mesh, data_axis))
+        return jitted(state, batch, key, theta, cf_active)
+
+    return wrapper

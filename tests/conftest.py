@@ -1,0 +1,38 @@
+"""Test harness: force CPU with 8 virtual devices.
+
+This is the TPU-native answer to "test multi-node without a cluster"
+(SURVEY §4): every sharding/collective path runs on a virtual 8-device CPU
+mesh; the driver separately dry-run-compiles the multi-chip path.
+"""
+
+import os
+
+# The image's sitecustomize imports jax and registers the axon TPU plugin
+# before conftest runs, so env vars alone are too late; the config update
+# below (before any backend is initialized) is what actually wins.
+os.environ["JAX_PLATFORMS"] = "cpu"
+flags = os.environ.get("XLA_FLAGS", "")
+if "host_platform_device_count" not in flags:
+    os.environ["XLA_FLAGS"] = (
+        flags + " --xla_force_host_platform_device_count=8"
+    ).strip()
+
+import jax  # noqa: E402
+
+jax.config.update("jax_platforms", "cpu")
+# Persistent compilation cache: the suite is compile-bound on CPU; cached
+# executables make repeat runs fast.
+jax.config.update("jax_compilation_cache_dir", "/tmp/jax_test_cache")
+jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.5)
+import numpy as np  # noqa: E402
+import pytest  # noqa: E402
+
+
+@pytest.fixture
+def key():
+    return jax.random.PRNGKey(0)
+
+
+@pytest.fixture
+def rng():
+    return np.random.default_rng(0)

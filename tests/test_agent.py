@@ -1,0 +1,84 @@
+"""MPC planner + play-loop tests."""
+
+import os
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from scmgan_tpu.agent.mpc import _action_table, make_planner, rollout_reward_table
+from scmgan_tpu.agent.play import play
+from scmgan_tpu.data import allocate_datasource
+from scmgan_tpu.models import init_world_model
+
+
+@pytest.fixture(scope="module")
+def setup():
+    ds = allocate_datasource("gridworld")
+    wm = init_world_model(
+        jax.random.PRNGKey(0), 8, ds.binary_input_channels,
+        ds.scalar_output_channels, ds.conv_input_channels,
+        ds.conv_output_channels, img_size=16)
+    return ds, wm
+
+
+def test_action_table_structure():
+    # A=3, lookahead=2, depth=5: width 27, plans of length 6
+    table = np.asarray(_action_table(3, 2, 5, "noop", None))
+    assert table.shape == (27, 6)
+    # exhaustive enumeration of the first 3 slots
+    prefixes = {tuple(row[:3]) for row in table}
+    assert len(prefixes) == 27
+    # noop tail (action 0, reference main.py:467-469)
+    assert (table[:, 3:] == 0).all()
+    # first-action blocks are contiguous for the per-a max reshape
+    assert (table[:9, 0] == 0).all() and (table[9:18, 0] == 1).all()
+
+
+def test_action_table_random_policy(key):
+    table = np.asarray(_action_table(4, 2, 12, "random", key))
+    assert table.shape == (64, 13)
+    assert table[:, 3:].max() > 0  # random tail actually random
+
+
+def test_rollout_reward_table_shapes(setup, key):
+    ds, wm = setup
+    z = (jax.random.uniform(key, (1, 16, 16, 8)) > 0.5).astype(jnp.float32)
+    scores = rollout_reward_table(
+        wm, z, ds.binary_input_channels, lookahead=2, rollout_depth=4)
+    assert scores.shape == (ds.binary_input_channels,)
+    assert np.all(np.isfinite(np.asarray(scores)))
+
+
+def test_rollout_reward_deterministic(setup, key):
+    ds, wm = setup
+    z = (jax.random.uniform(key, (1, 16, 16, 8)) > 0.5).astype(jnp.float32)
+    a = rollout_reward_table(wm, z, 4, rollout_depth=3)
+    b = rollout_reward_table(wm, z, 4, rollout_depth=3)
+    np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+
+
+def test_make_planner_returns_valid_action(setup, key):
+    ds, wm = setup
+    z = (jax.random.uniform(key, (1, 16, 16, 8)) > 0.5).astype(jnp.float32)
+    plan = make_planner(wm, ds.binary_input_channels, rollout_depth=3)
+    action, scores = plan(z)
+    assert 0 <= action < ds.binary_input_channels
+    assert int(jnp.argmax(scores)) == action
+
+
+def test_play_episode_writes_artifacts(setup, tmp_path):
+    ds, wm = setup
+    reward, steps = play(
+        wm, ds, max_steps=5, rollout_depth=2, out_dir=str(tmp_path),
+        verbose=False)
+    assert steps >= 5
+    metrics_files = [f for f in os.listdir(tmp_path)
+                     if f.startswith("evaluation_metrics_")]
+    assert len(metrics_files) == 1
+    text = (tmp_path / metrics_files[0]).read_text()
+    assert "cumulative reward" in text
+    videos = [f for f in os.listdir(tmp_path)
+              if f.startswith("SimpleRolloutAgent-")]
+    assert len(videos) >= 1

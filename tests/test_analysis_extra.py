@@ -1,0 +1,155 @@
+"""Tests for the interpretability suite: Higgins metric, causal graph,
+excitation-BPTT, CSRN, dsprites."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from scmgan_tpu.data import allocate_datasource
+from scmgan_tpu.models import encode, init_world_model
+
+
+@pytest.fixture(scope="module")
+def setup():
+    ds = allocate_datasource("gridworld")
+    wm = init_world_model(
+        jax.random.PRNGKey(0), 8, ds.binary_input_channels,
+        ds.scalar_output_channels, ds.conv_input_channels,
+        ds.conv_output_channels, img_size=16)
+    return ds, wm
+
+
+# --------------------------------------------------------------------------
+# Higgins
+# --------------------------------------------------------------------------
+
+def test_higgins_metric_on_identity_encoder():
+    """A perfect encoder (identity on the factors) must reach high
+    accuracy; the metric machinery itself is what's under test."""
+    from scmgan_tpu.analysis.higgins import higgins_metric
+
+    true_dim = 4
+
+    def simulator(factors):
+        return np.asarray(factors, np.float32)  # images ARE the factors
+
+    def encoder_fn(x):
+        return x
+
+    acc = higgins_metric(simulator, true_dim, encoder_fn, true_dim,
+                         batch_size=32, train_iters=150, seed=0,
+                         test_batches=4)
+    assert acc > 0.8
+
+
+def test_higgins_metric_conv_runs(setup):
+    from scmgan_tpu.analysis.higgins import higgins_metric_conv
+    from scmgan_tpu.envs import get_env
+
+    ds, wm = setup
+    spec = get_env("pong")
+    wm64 = init_world_model(jax.random.PRNGKey(1), 8, 4, 1, 3, 3)
+
+    def encoder_fn(images):
+        # simulator returns (B, 3 frames, H, W, C) stacks
+        return encode(wm64.encoder, jnp.asarray(images))
+
+    acc = higgins_metric_conv(spec.simulator, spec.true_latent_dim,
+                              encoder_fn, 8, batch_size=4, train_iters=10)
+    assert 0.0 <= acc <= 1.0
+
+
+# --------------------------------------------------------------------------
+# Causal graph
+# --------------------------------------------------------------------------
+
+def test_causal_graph_shape_and_range(setup, tmp_path):
+    from scmgan_tpu.analysis.causal_graph import compute_causal_graph
+
+    ds, wm = setup
+    w = compute_causal_graph(wm, ds, train_iter=0, runs=2,
+                             out_dir=str(tmp_path), make_images=False)
+    assert w.shape == (8, 8)
+    assert w.max() <= 1.0 + 1e-6 and w.min() >= 0.0
+
+
+def test_causal_graph_renders(tmp_path):
+    from scmgan_tpu.analysis.causal_graph import render_causal_graph
+
+    img = render_causal_graph(np.eye(4))
+    assert img is not None and img.ndim == 3
+
+
+# --------------------------------------------------------------------------
+# Excitation BPTT
+# --------------------------------------------------------------------------
+
+def test_excitation_bptt_runs(setup, tmp_path):
+    from scmgan_tpu.analysis.excitation_bptt import visualize_bptt
+
+    ds, wm = setup
+    z0 = (jax.random.uniform(jax.random.PRNGKey(0), (1, 16, 16, 8)) > 0.5
+          ).astype(jnp.float32)
+    # threshold 0 so an untrained model triggers immediately
+    path = visualize_bptt(wm, z0, ds.binary_input_channels, steps=4,
+                          reward_threshold=0.0, out_dir=str(tmp_path))
+    import os
+
+    assert path is None or os.path.exists(path)
+
+
+# --------------------------------------------------------------------------
+# CSRN
+# --------------------------------------------------------------------------
+
+def test_csrn_shapes(key):
+    from scmgan_tpu.ops.csrn import csrn_apply, csrn_init
+
+    params = csrn_init(key, channels=8, exploding_init=False)
+    x = jax.random.normal(key, (2, 12, 10, 8))
+    y = csrn_apply(params, x)
+    assert y.shape == x.shape
+    assert np.isfinite(np.asarray(y)).all()
+
+
+def test_csrn_context_propagates_downward(key):
+    """Information from the top row must reach the bottom row (the point of
+    the directional sweeps)."""
+    from scmgan_tpu.ops.csrn import csrn_apply, csrn_init
+
+    params = csrn_init(key, channels=4, exploding_init=False)
+    x = jnp.zeros((1, 8, 8, 4))
+    y0 = csrn_apply(params, x)
+    x2 = x.at[0, 0, 4, :].set(5.0)  # impulse at top row
+    y1 = csrn_apply(params, x2)
+    diff_bottom = float(jnp.abs(y1[0, 7] - y0[0, 7]).max())
+    assert diff_bottom > 0
+
+
+def test_gru_cell_matches_reference_gate_order(key):
+    """GRU with zero weights returns h unchanged via the z-gate path."""
+    from scmgan_tpu.ops.csrn import gru_cell
+
+    params = {"w_ih": jnp.zeros((4, 12)), "w_hh": jnp.zeros((4, 12))}
+    h = jax.random.normal(key, (3, 4))
+    x = jax.random.normal(key, (3, 4))
+    out = gru_cell(params, x, h)
+    # r=z=0.5, n=tanh(0)=0 -> h' = 0.5*h
+    np.testing.assert_allclose(np.asarray(out), np.asarray(0.5 * h),
+                               rtol=1e-5)
+
+
+# --------------------------------------------------------------------------
+# dsprites
+# --------------------------------------------------------------------------
+
+def test_dsprites_procedural_fallback():
+    from scmgan_tpu.envs import dsprites
+
+    dsprites.init(path="/nonexistent")
+    img = dsprites.generate_image_continuous([0.5, 0.25, 0.5, 0.5])
+    assert img.shape == (64, 64)
+    assert img.max() == 1.0  # sprite visible
+    batch = dsprites.simulator(np.random.default_rng(0).uniform(size=(3, 4)))
+    assert batch.shape == (3, 64, 64)

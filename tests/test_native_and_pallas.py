@@ -1,0 +1,122 @@
+"""Tests for the native C components and the Pallas fused transition
+(interpret mode — the compiled path is exercised on real TPU by bench)."""
+
+import os
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+
+# --------------------------------------------------------------------------
+# native: AVI writer
+# --------------------------------------------------------------------------
+
+def test_avi_writer_produces_valid_riff(tmp_path):
+    from scmgan_tpu.native import aviwriter
+
+    frames = (np.random.default_rng(0).random((4, 16, 24, 3)) * 255
+              ).astype(np.uint8)
+    path = str(tmp_path / "clip.avi")
+    aviwriter.write_avi(path, frames, fps=5)
+    data = open(path, "rb").read()
+    assert data[:4] == b"RIFF" and data[8:12] == b"AVI "
+    # RIFF size field == file size - 8
+    riff_size = int.from_bytes(data[4:8], "little")
+    assert riff_size == len(data) - 8
+    assert b"movi" in data and b"idx1" in data
+    # 4 frames indexed
+    assert data.count(b"00db") >= 8  # movi chunks + idx entries
+
+
+def test_avi_writer_row_padding(tmp_path):
+    from scmgan_tpu.native import aviwriter
+
+    # width 17 -> row 51 bytes padded to 52
+    frames = np.zeros((2, 8, 17, 3), np.uint8)
+    path = str(tmp_path / "pad.avi")
+    aviwriter.write_avi(path, frames, fps=5)
+    assert os.path.getsize(path) > 2 * 52 * 8
+
+
+# --------------------------------------------------------------------------
+# native: stitcher
+# --------------------------------------------------------------------------
+
+def test_stitcher_clip_semantics():
+    from scmgan_tpu.native import stitch_batch
+
+    t1, t2 = 12, 9
+    frames = np.arange(t1 + t2, dtype=np.float32)[:, None]
+    rewards = np.arange(t1 + t2, dtype=np.float32)[:, None]
+    actions = np.arange(t1 + t2, dtype=np.int32)
+    offsets = np.array([0, t1])
+    lengths = np.array([t1, t2])
+    of, orw, od, oa = stitch_batch(frames, rewards, actions, offsets,
+                                   lengths, batch=8, timesteps=10,
+                                   random_start=True, seed=3)
+    assert of.shape == (8, 10, 1)
+    assert od.shape == (8, 10)
+    # every row's final step of each clip carries done=1
+    assert od.any(axis=1).all()
+    # frames and actions stay aligned (same arena index)
+    np.testing.assert_array_equal(of[..., 0].astype(np.int32), oa)
+    # clip content comes from within episodes (never crosses the last step)
+    assert int(oa.max()) < t1 + t2
+
+
+def test_stitcher_deterministic_seed():
+    from scmgan_tpu.native import stitch_batch
+
+    frames = np.random.default_rng(0).random((30, 2)).astype(np.float32)
+    rewards = np.zeros((30, 1), np.float32)
+    actions = np.zeros(30, np.int32)
+    offsets, lengths = np.array([0]), np.array([30])
+    a = stitch_batch(frames, rewards, actions, offsets, lengths, 4, 8,
+                     seed=42)
+    b = stitch_batch(frames, rewards, actions, offsets, lengths, 4, 8,
+                     seed=42)
+    np.testing.assert_array_equal(a[0], b[0])
+
+
+# --------------------------------------------------------------------------
+# pallas fused transition (interpret mode)
+# --------------------------------------------------------------------------
+
+def test_fused_transition_matches_xla(monkeypatch, key):
+    from jax.experimental import pallas as pl
+
+    import scmgan_tpu.ops.pallas.fused_transition as ft
+    from scmgan_tpu.models import init_world_model, transition
+
+    orig = pl.pallas_call
+
+    def interp(*a, **k):
+        k["interpret"] = True
+        return orig(*a, **k)
+
+    monkeypatch.setattr(ft.pl, "pallas_call", interp)
+
+    wm = init_world_model(key, 16, 4, 1, 3, 3)
+    z = (jax.random.uniform(key, (2, 64, 64, 16)) > 0.5).astype(jnp.float32)
+    a = jax.nn.one_hot(jnp.array([1, 3]), 4)
+    ref = transition(wm.transition, z, a, train=False)
+    out = ft.fused_transition(wm.transition, z, a, sample=False)
+    # bf16 kernel vs f32 XLA: only sigmoid values straddling 0.5 may flip
+    match = float((ref == out).mean())
+    assert match > 0.995, match
+
+
+def test_pack_transition_weights_shapes(key):
+    from scmgan_tpu.models import init_world_model
+    from scmgan_tpu.ops.pallas.fused_transition import pack_transition_weights
+
+    wm = init_world_model(key, 16, 5, 2, 3, 3)
+    packed = pack_transition_weights(wm.transition, 16, 5)
+    assert packed["w1"].shape == (9, 24, 128)   # 21 -> padded 24
+    assert packed["w2"].shape == (9, 128, 128)
+    assert packed["w5a"].shape == (9, 128, 128)
+    assert packed["w5b"].shape == (9, 128, 128)
+    assert packed["w6a"].shape == (9, 128, 16)
+    assert packed["b6"].shape == (1, 16)
