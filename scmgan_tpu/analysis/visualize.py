@@ -141,6 +141,92 @@ def visualize_reconstruction(params: WorldModel, datasource, train_iter: int = 0
 
 
 # --------------------------------------------------------------------------
+# planning visualization + raw trajectory video (reference main.py:403-444)
+# --------------------------------------------------------------------------
+
+def generate_trajectory_video(datasource, out_dir: str = ".",
+                              filename: str = "example_trajectory.mp4",
+                              timesteps: int = 60):
+    """Raw datasource rollout video (reference generate_trajectory_video,
+    main.py:403-411)."""
+    import os
+
+    obs, *_ = datasource.collect(1, timesteps)
+    vid = Video(os.path.join(out_dir, filename), framerate=10)
+    for frame in np.asarray(obs[0]):
+        vid.write_frame(frame, resize_to=(256, 256))
+    return vid.finish()
+
+
+@partial(jax.jit, static_argnames=("num_actions", "rollout_depth"))
+def _planning_rollout(params: WorldModel, z, actions, num_actions: int,
+                      rollout_depth: int):
+    """Beam of futures for the planning video: all rollouts advance in one
+    batched scan (reference loops python-side, main.py:414-444)."""
+    width = actions.shape[0]
+    z_beam = jnp.broadcast_to(z, (width,) + z.shape[1:])
+
+    def step(carry, a_t):
+        z_beam, cum = carry
+        a_oh = jax.nn.one_hot(a_t, num_actions, dtype=z_beam.dtype)
+        z_beam = transition(params.transition, z_beam, a_oh, train=False)
+        frames = jax.nn.sigmoid(decode(params.decoder, z_beam))
+        r = predict_reward(params.reward_predictor, z_beam)
+        cum = cum + r
+        return (z_beam, cum), (frames, cum)
+
+    num_rewards = params.reward_predictor["conv2"]["w"].shape[-1] // 3
+    cum0 = jnp.zeros((width, num_rewards), jnp.float32)
+    (_, cum), (frames, cums) = jax.lax.scan(
+        step, (z_beam, cum0), jnp.swapaxes(actions, 0, 1))
+    return frames, cums, cum
+
+
+def generate_planning_visualization(params: WorldModel, z, num_actions: int,
+                                    vid: Video, lookahead: int = 3,
+                                    rollout_depth: int = 20,
+                                    caption_title: str = "Neural Simulation",
+                                    actions_list=None,
+                                    key: Optional[jax.Array] = None):
+    """Video of a beam of simulated futures with reward-masked frames
+    (reference generate_planning_visualization, main.py:414-444):
+    num_actions^lookahead rollouts; each frame dimmed when its rollout's
+    cumulative reward dips below the mask threshold; frames then replayed
+    in reverse."""
+    rollout_width = num_actions ** lookahead
+    if actions_list is not None:
+        actions = jnp.tile(jnp.asarray(actions_list, jnp.int32)[None, :],
+                           (rollout_width, 1))
+    else:
+        if key is None:
+            key = jax.random.PRNGKey(0)
+        actions = jax.random.randint(
+            key, (rollout_width, rollout_depth), 0, num_actions)
+    frames, cums, final_cum = _planning_rollout(
+        params, z, actions, num_actions, rollout_depth)
+    frames = np.asarray(frames)   # (T, width, H, W, C)
+    cums = np.asarray(cums)       # (T, width, R)
+    collected = []
+    for t in range(frames.shape[0]):
+        # mask: rewards[:,1]-rewards[:,0] heuristic of the reference
+        # collapses to the summed signed reward when R < 2.
+        r = cums[t]
+        score = (r[:, 1] - r[:, 0]) if r.shape[1] >= 2 else r[:, 0]
+        mask = np.clip(score + 1.0, 0.0, 1.0)[:, None, None, None]
+        best = float(np.max(score))
+        img = (frames[t] * mask).mean(axis=0)
+        caption = f"{caption_title} t+{t} R={best:.2f}"
+        vid.write_frame(img, resize_to=(512, 512), caption=caption)
+        collected.append(img)
+    for img in collected[::-1]:
+        vid.write_frame(img, resize_to=(512, 512), caption=caption_title)
+    final = np.asarray(final_cum)
+    score = (final[:, 1] - final[:, 0]) if final.shape[1] >= 2 else final[:, 0]
+    print("Simulation {} reward: {:.2f}".format(
+        int(np.argmax(score)), float(np.max(score))))
+
+
+# --------------------------------------------------------------------------
 # forward simulation video
 # --------------------------------------------------------------------------
 

@@ -120,3 +120,19 @@ def test_pack_transition_weights_shapes(key):
     assert packed["w5b"].shape == (9, 128, 128)
     assert packed["w6a"].shape == (9, 128, 16)
     assert packed["b6"].shape == (1, 16)
+
+
+def test_xla_int8_transition_matches(key):
+    from scmgan_tpu.models import init_world_model, transition
+    from scmgan_tpu.models.quantized import quantize_transition, transition_int8
+
+    wm = init_world_model(key, 16, 4, 1, 3, 3)
+    z = (jax.random.uniform(key, (2, 64, 64, 16)) > 0.5).astype(jnp.float32)
+    a = jax.nn.one_hot(jnp.array([1, 3]), 4)
+    ref = transition(wm.transition, z, a, train=False)
+    qt = quantize_transition(wm.transition, 16, 4)
+    out = transition_int8(qt, z, a)
+    match = float((ref == out).mean())
+    # int8 is a lossy serving mode; bit agreement should still be high
+    assert match > 0.95, match
+    assert set(np.unique(np.asarray(out))) <= {0.0, 1.0}
