@@ -57,6 +57,17 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("--iters-per-video", type=int, default=2000,
                    help="Evaluate + checkpoint every N iters "
                         "(ITERS_PER_VIDEO in the reference)")
+    p.add_argument("--higgins", action="store_true",
+                   help="With --evaluate: compute the Higgins "
+                        "disentanglement metric (envs with a simulator)")
+    p.add_argument("--causal-graph", action="store_true",
+                   help="With --evaluate: extract + render the causal graph")
+    p.add_argument("--causal-runs", type=int, default=10,
+                   help="Batches to max over for the causal graph "
+                        "(reference uses 10, main.py:514)")
+    p.add_argument("--higgins-iters", type=int, default=100,
+                   help="Classifier training iterations for the Higgins "
+                        "metric")
     return p
 
 
@@ -145,7 +156,32 @@ def main(argv=None):
         print(f"Finished {cfg.evaluations} playthroughs")
         evaluate(state.params, datasource, train_iter=cfg.start_iter,
                  use_training_set=True, out_dir=cfg.out_dir,
-                 make_videos=not args.no_videos)
+                 make_videos=not args.no_videos,
+                 eval_batch_size=cfg.eval_batch_size,
+                 eval_timesteps=cfg.eval_timesteps)
+        if args.causal_graph:
+            from scmgan_tpu.analysis.causal_graph import compute_causal_graph
+
+            compute_causal_graph(state.params, datasource,
+                                 train_iter=cfg.start_iter,
+                                 runs=args.causal_runs,
+                                 out_dir=cfg.out_dir)
+        if args.higgins:
+            spec = datasource.spec
+            if spec.simulator is None:
+                print(f"--higgins: env {spec.name!r} has no simulator")
+            else:
+                from scmgan_tpu.analysis.higgins import higgins_metric_conv
+                from scmgan_tpu.models import encode
+
+                def encoder_fn(images):
+                    import jax.numpy as jnp
+
+                    return encode(state.params.encoder, jnp.asarray(images))
+
+                higgins_metric_conv(
+                    spec.simulator, spec.true_latent_dim, encoder_fn,
+                    cfg.latent_dim, train_iters=args.higgins_iters)
     else:
         ts = TimeSeries("Training Model", cfg.train_iters, tensorboard=True)
 

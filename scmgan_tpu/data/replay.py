@@ -262,7 +262,12 @@ class HostReplayDatasource:
 
     def collect(self, batch_size: int, timesteps: int, policy: str = "random",
                 key=None):
-        """Device-native view: NHWC float32 jnp arrays."""
+        """Device-native view: NHWC float32 jnp arrays.
+
+        Stored episodes follow the reference's channels-first convention
+        (convert_frame transposes to CHW, envs/minipacman.py:167-168);
+        the trainer consumes NHWC, so the channel axis moves last here.
+        """
         import jax.numpy as jnp
 
         states, rewards, dones, actions = self.get_trajectories(

@@ -1,0 +1,104 @@
+"""Replay-buffer + host-actor tests using a fake in-process environment
+(the reference's pattern of testing the learner against a fake world,
+SURVEY §4.3)."""
+
+import time
+
+import numpy as np
+import pytest
+
+from scmgan_tpu.data.replay import (
+    HostActor,
+    HostReplayDatasource,
+    ReplayBuffer,
+)
+
+
+class FakeEnv:
+    """Tiny deterministic episode generator standing in for ALE/SC2."""
+
+    class _Space:
+        def __init__(self, n):
+            self.n = n
+
+        def sample(self):
+            return np.random.randint(self.n)
+
+    def __init__(self, episode_len=6):
+        self.action_space = self._Space(3)
+        self.episode_len = episode_len
+        self.t = 0
+        self.closed = False
+
+    def reset(self):
+        self.t = 0
+        # CHW frames — the storage convention (reference convert_frame
+        # transposes to channels-first, envs/minipacman.py:167-168)
+        return np.full((2, 4, 4), self.t, np.float32)
+
+    def step(self, action):
+        self.t += 1
+        done = self.t >= self.episode_len
+        obs = np.full((2, 4, 4), self.t, np.float32)
+        return obs, float(action), done, {}
+
+    def close(self):
+        self.closed = True
+
+
+def test_replay_buffer_split_and_reservoir():
+    buf = ReplayBuffer(capacity=5, test_holdout=0.5, seed=0)
+    for i in range(40):
+        buf.add((np.full(3, i), np.zeros(3), np.zeros(3)))
+    assert buf.size(True) <= 5 and buf.size(False) <= 5
+    assert buf.size(True) + buf.size(False) == 10
+    ep = buf.sample_episode(True)
+    assert len(ep) == 3
+
+
+def test_host_actor_fills_buffer():
+    buf = ReplayBuffer(capacity=10, test_holdout=0.0, seed=0)
+    actor = HostActor(FakeEnv, buf, num_rewards=2, max_trajectory_len=8)
+    actor.start()
+    deadline = time.time() + 10
+    while len(buf) < 2 and time.time() < deadline:
+        time.sleep(0.05)
+    assert len(buf) >= 2
+    assert actor.is_alive()
+    states, rewards, actions = buf.sample_episode(True)
+    assert states.shape[1:] == (2, 4, 4)
+    assert rewards.shape[1] == 2  # pos/neg split for scalar rewards
+    # first recorded reward is the pre-step zero (reference
+    # envs/minipacman.py:95-108 records reward lagged by one step)
+    np.testing.assert_array_equal(rewards[0], [0.0, 0.0])
+
+
+def test_host_replay_datasource_contract():
+    ds = HostReplayDatasource(
+        FakeEnv, num_actions=3, num_rewards=2, channels=2,
+        min_buffer_len=2, max_trajectory_len=8, seed=0)
+    states, rewards, dones, actions = ds.get_trajectories(
+        batch_size=3, timesteps=10)
+    assert states.shape[0] == 3 and states.shape[1] == 10
+    assert rewards.shape == (3, 10, 2)
+    assert dones.shape == (3, 10)
+    # clip joins carry synthetic dones (episodes are 8 steps < 10)
+    assert dones.any(axis=1).all()
+    obs, rew, dn, act = ds.collect(2, 6)
+    assert obs.shape[0] == 2 and obs.shape[1] == 6
+    assert obs.shape[-1] == 2  # NHWC channels last
+
+
+def test_actor_death_detected():
+    class CrashingEnv(FakeEnv):
+        def reset(self):
+            raise RuntimeError("emulator exploded")
+
+    ds = HostReplayDatasource(
+        CrashingEnv, num_actions=3, num_rewards=1, channels=2,
+        min_buffer_len=1, seed=0)
+    with pytest.raises(RuntimeError, match="Simulator thread crashed"):
+        deadline = time.time() + 10
+        while time.time() < deadline:
+            ds.get_trajectories(1, 4)
+            time.sleep(0.1)
