@@ -186,7 +186,10 @@ def main(argv=None):
         ts = TimeSeries("Training Model", cfg.train_iters, tensorboard=True)
 
         def log_fn(i, metrics):
-            ts.collect_dict({k: v for k, v in metrics.items()})
+            # Materializing metrics forces a device sync; sample every 10
+            # iterations so logging stays off the step critical path.
+            if i % 10 == 0:
+                ts.collect_dict({k: v for k, v in metrics.items()})
             ts.print_every(10)
 
         def eval_fn(state, train_iter):

@@ -34,13 +34,13 @@ ACT_SCALE = 8.0 / 127.0   # leaky-ReLU activations calibrated to [0, 8]
 
 
 class QuantizedTransition(NamedTuple):
-    """Pre-quantized transition weights (host-prepared, device-resident)."""
+    """Pre-quantized transition weights (host-prepared, device-resident).
+    Dimensions are derived from weight shapes so the tuple stays a pure
+    array pytree (safe to pass through jit)."""
 
     weights: dict     # name -> int8 HWIO kernel
     scales: dict      # name -> f32 (Cout,) folded (w_scale * in_scale)
     biases: dict      # name -> f32 (Cout,)
-    latent_dim: int
-    num_actions: int
 
 
 def _quantize(w: jax.Array):
@@ -51,8 +51,8 @@ def _quantize(w: jax.Array):
     return q.reshape(w.shape), scale
 
 
-def quantize_transition(params: dict, latent_dim: int,
-                        num_actions: int) -> QuantizedTransition:
+def quantize_transition(params: dict, latent_dim: int = None,
+                        num_actions: int = None) -> QuantizedTransition:
     weights, scales, biases = {}, {}, {}
     specs = [
         ("conv1", sn_weight(params["conv1"]), 1.0),
@@ -67,8 +67,7 @@ def quantize_transition(params: dict, latent_dim: int,
         weights[name] = q
         scales[name] = ws * in_scale
         biases[name] = params[name]["b"].astype(jnp.float32)
-    return QuantizedTransition(weights, scales, biases, latent_dim,
-                               num_actions)
+    return QuantizedTransition(weights, scales, biases)
 
 
 def _qconv(qt: QuantizedTransition, name: str, x_i8: jax.Array,
@@ -91,8 +90,9 @@ def transition_int8(qt: QuantizedTransition, z: jax.Array,
                     sample: bool = False) -> jax.Array:
     """Serving-mode transition step.  z: (B, H, W, latent) binary values."""
     b, h, w, _ = z.shape
+    num_actions = action_onehot.shape[-1]
     a_map = jnp.broadcast_to(action_onehot[:, None, None, :],
-                             (b, h, w, qt.num_actions))
+                             (b, h, w, num_actions))
     x = jnp.concatenate(
         [z.astype(jnp.int8), a_map.astype(jnp.int8)], axis=-1)
     h1 = _qconv(qt, "conv1", x)
