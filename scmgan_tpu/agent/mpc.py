@@ -49,7 +49,8 @@ def _action_table(num_actions: int, lookahead: int, rollout_depth: int,
 
 
 @partial(jax.jit, static_argnames=("num_actions", "lookahead", "rollout_depth",
-                                   "rollout_policy", "negative_positive_tradeoff"))
+                                   "rollout_policy", "negative_positive_tradeoff",
+                                   "use_int8"))
 def rollout_reward_table(
     params: WorldModel,
     z: jax.Array,
@@ -59,6 +60,7 @@ def rollout_reward_table(
     rollout_policy: str = "noop",
     negative_positive_tradeoff: float = 10.0,
     key: Optional[jax.Array] = None,
+    use_int8: bool = False,
 ):
     """Expected best cumulative reward per first action.
 
@@ -66,19 +68,35 @@ def rollout_reward_table(
     score[a] = max over a's beam of sum_r(tradeoff-weighted cumulative
     reward), replicating compute_rollout_reward (main.py:455-489) with the
     first-action loop folded into the same batch.
+
+    ``use_int8`` routes the beam through the quantized serving transition
+    (models/quantized.py, ~2.2x faster on v5e) — appropriate for live MPC
+    play where planner fidelity tolerates the >95%-bit-agreement path.
     """
+    if use_int8:
+        from scmgan_tpu.models.quantized import (
+            quantize_transition,
+            transition_int8,
+        )
+
+        qt = quantize_transition(params.transition)
+        step_fn = lambda zb, a: transition_int8(qt, zb, a)
+    else:
+        step_fn = lambda zb, a: transition(params.transition, zb, a,
+                                           train=False)
+
     table = _action_table(num_actions, lookahead, rollout_depth,
                           rollout_policy, key)
     width = table.shape[0]
     z_beam = jnp.broadcast_to(z, (width,) + z.shape[1:])
     a0 = jax.nn.one_hot(table[:, 0], num_actions, dtype=z.dtype)
-    z_beam = transition(params.transition, z_beam, a0, train=False)
+    z_beam = step_fn(z_beam, a0)
     cumulative = predict_reward(params.reward_predictor, z_beam)
 
     def step(carry, a_t):
         z_beam, cum = carry
         a_oh = jax.nn.one_hot(a_t, num_actions, dtype=z_beam.dtype)
-        z_beam = transition(params.transition, z_beam, a_oh, train=False)
+        z_beam = step_fn(z_beam, a_oh)
         z_beam = jax.lax.stop_gradient(z_beam)
         cum = cum + predict_reward(params.reward_predictor, z_beam)
         return (z_beam, cum), None
@@ -95,13 +113,15 @@ def rollout_reward_table(
 
 def make_planner(params: WorldModel, num_actions: int, lookahead: int = 2,
                  rollout_depth: int = 12, rollout_policy: str = "noop",
-                 negative_positive_tradeoff: float = 10.0):
+                 negative_positive_tradeoff: float = 10.0,
+                 use_int8: bool = False):
     """Returns plan(z, key=None) -> (best_action, scores)."""
 
     def plan(z, key=None):
         scores = rollout_reward_table(
             params, z, num_actions, lookahead, rollout_depth,
-            rollout_policy, negative_positive_tradeoff, key=key)
+            rollout_policy, negative_positive_tradeoff, key=key,
+            use_int8=use_int8)
         return int(jnp.argmax(scores)), scores
 
     return plan

@@ -82,3 +82,13 @@ def test_play_episode_writes_artifacts(setup, tmp_path):
     videos = [f for f in os.listdir(tmp_path)
               if f.startswith("SimpleRolloutAgent-")]
     assert len(videos) >= 1
+
+
+def test_rollout_reward_int8_mode(setup, key):
+    ds, wm = setup
+    z = (jax.random.uniform(key, (1, 16, 16, 8)) > 0.5).astype(jnp.float32)
+    scores = rollout_reward_table(
+        wm, z, ds.binary_input_channels, lookahead=2, rollout_depth=3,
+        use_int8=True)
+    assert scores.shape == (ds.binary_input_channels,)
+    assert np.all(np.isfinite(np.asarray(scores)))
