@@ -48,7 +48,7 @@ _MAZE_STR = [
     "#.#..........#.#",
     "#.#.###..###.#.#",
     "#...#......#...#",
-    "#.#.#.####.#.#.#",
+    "#.#.#.#  #.#.#.#",
     "#.#...#..#...#.#",
     "#.#...#..#...#.#",
     "#.#.#.####.#.#.#",
@@ -71,8 +71,13 @@ PILLS0 = jnp.asarray(
 _DR = jnp.array([0, 0, -1, 0, 1], jnp.int32)
 _DC = jnp.array([0, 1, 0, -1, 0], jnp.int32)
 
-_PACMAN_START = (7, 7)
-_GHOST_STARTS = ((7, 8), (8, 7), (8, 8))
+# Pacman spawns in the lower corridor, ghosts in the central chamber —
+# several corridors apart, so random-policy episodes last tens of steps
+# (spawning them adjacent makes every rollout die within ~2 steps, which
+# starves training and the free-run eval of usable trajectory length).
+_PACMAN_START = (12, 7)
+_GHOST_STARTS = ((7, 7), (7, 8), (8, 8))
+_CHASE_EXPLORE = 0.35  # ghosts pick a random legal move this often
 
 
 class State(NamedTuple):
@@ -121,8 +126,9 @@ def _ghost_move(r, c, pac_r, pac_c, powered, key):
     rand_scores = jnp.where(legal, jax.random.uniform(k2, (NUM_ACTIONS,)),
                             -jnp.inf)
     random_a = jnp.argmax(rand_scores)
-    a = jnp.where(jax.random.uniform(jax.random.fold_in(k2, 1)) < 0.25,
-                  random_a, greedy)
+    a = jnp.where(
+        jax.random.uniform(jax.random.fold_in(k2, 1)) < _CHASE_EXPLORE,
+        random_a, greedy)
     return cand_r[a], cand_c[a]
 
 
