@@ -68,7 +68,10 @@ class Datasource:
         )
 
     def make_env(self, *args, **kwargs) -> HostEnv:
-        return HostEnv(self.spec)
+        # Fresh episode randomness per env instance (a fixed seed would
+        # make every MPC playthrough identical).
+        seed = int(jax.random.randint(self._next_key(), (), 0, 2 ** 31 - 1))
+        return HostEnv(self.spec, seed=seed)
 
     def convert_frame(self, state):
         """(network_state, human_state) passthrough (reference
