@@ -176,6 +176,7 @@ def train(
         key, init_key = jax.random.split(key)
         state = init_train_state(cfg, spec, init_key)
 
+    nan_check_every = 200  # cheap training-health watchdog (syncs anyway)
     for train_iter in range(cfg.start_iter, cfg.train_iters + 1):
         if train_iter % cfg.iters_per_video == 0:
             if eval_fn is not None:
@@ -193,6 +194,14 @@ def train(
         state, metrics = step(
             state, batch, k_step, jnp.float32(theta), jnp.float32(cf_active)
         )
+        if train_iter % nan_check_every == 0:
+            # Failure detection (SURVEY §5): a diverged model wastes the
+            # rest of the run silently; fail fast with context instead.
+            loss_val = float(metrics["loss"])
+            if loss_val != loss_val:  # NaN
+                raise FloatingPointError(
+                    f"training loss became NaN at iter {train_iter} "
+                    f"(horizon {horizon}); check learning rate / inputs")
         if log_fn is not None:
             log_fn(train_iter, metrics)
     return state
