@@ -28,7 +28,8 @@ from scmgan_tpu.models.world_model import WorldModel, encode, transition
 def play(params: WorldModel, datasource, max_steps: int = 300,
          rollout_depth: int = 12, lookahead: int = 2,
          negative_positive_tradeoff: float = 10.0, out_dir: str = ".",
-         verbose: bool = True, seed: Optional[int] = None):
+         verbose: bool = True, seed: Optional[int] = None,
+         use_int8: bool = False):
     """Returns (cumulative_reward, steps).  Writes video + metrics file."""
     num_actions = datasource.binary_input_channels
     env = datasource.make_env(screen_size=512)
@@ -61,7 +62,7 @@ def play(params: WorldModel, datasource, max_steps: int = 300,
     while not done:
         scores = rollout_reward_table(
             params, z, num_actions, lookahead, rollout_depth, "noop",
-            negative_positive_tradeoff)
+            negative_positive_tradeoff, use_int8=use_int8)
         max_a = int(jnp.argmax(scores))
 
         obs, reward, done, info = env.step(max_a)

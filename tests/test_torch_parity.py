@@ -233,3 +233,51 @@ def test_discriminator_matches_torch(key):
     # importer keeps torch's flatten convention, so values must match:
     np.testing.assert_allclose(np.asarray(got), expected.detach().numpy(),
                                rtol=RTOL, atol=ATOL)
+
+
+def test_load_reference_checkpoint_files(tmp_path):
+    """End-to-end .pth loading: save reference-format state_dicts with
+    torch.save and load them through load_reference_checkpoint."""
+    latent, actions, color, rewards = 8, 4, 3, 2
+    dicts = {
+        "encoder": {},
+        "transition": {},
+        "decoder": {},
+        "reward_predictor": {},
+        "discriminator": {},
+    }
+    dicts["encoder"].update(_sn_dict("conv1", 32, color * 3, seed=50))
+    dicts["encoder"].update(_sn_dict("conv2", 32, 32, seed=51))
+    dicts["encoder"].update(_sn_dict("conv3", 32, 32, seed=52))
+    dicts["encoder"].update(_plain_dict("conv4", latent, 32, seed=53))
+    for i in range(1, 6):
+        cin = latent + actions if i == 1 else (64 if i == 5 else 32)
+        dicts["transition"].update(_sn_dict(f"conv{i}", 32, cin, seed=60 + i))
+    dicts["transition"].update(_plain_dict("conv6", latent, 64, seed=66))
+    dicts["decoder"].update(_plain_dict("conv1", latent * 4, latent,
+                                        seed=70, transpose=True))
+    dicts["decoder"].update(_plain_dict("conv2", latent * color, latent * 4,
+                                        seed=71, transpose=True))
+    dicts["reward_predictor"].update(_plain_dict("conv1", 32, latent,
+                                                 seed=72))
+    dicts["reward_predictor"].update(_plain_dict("conv2", rewards * 3, 32,
+                                                 seed=73))
+    dicts["discriminator"].update(_sn_dict("conv1", 32, 3, seed=74))
+    dicts["discriminator"].update(_sn_dict("conv2", 32, 32, seed=75))
+    dicts["discriminator"].update(_plain_dict("conv3", 32, 32, seed=76))
+    g = torch.Generator().manual_seed(77)
+    dicts["discriminator"]["fc1.weight"] = torch.randn(1, 32 * 7 * 7,
+                                                       generator=g)
+    dicts["discriminator"]["fc1.bias"] = torch.randn(1, generator=g)
+
+    for name, sd in dicts.items():
+        torch.save(sd, tmp_path / f"model-{name}.pth")
+
+    wm = torch_import.load_reference_checkpoint(str(tmp_path))
+    assert wm.encoder["conv1"]["w"].shape == (3, 3, color * 3, 32)
+    assert wm.transition["conv5"]["w"].shape == (3, 3, 64, 32)
+    assert wm.decoder["conv2"]["w"].shape == (3, 3, latent * 4,
+                                              latent * color)
+    # loaded model runs
+    z = jax.random.uniform(jax.random.PRNGKey(0), (1, 16, 16, latent))
+    assert decode(wm.decoder, z).shape == (1, 16, 16, color)
