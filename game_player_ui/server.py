@@ -123,11 +123,18 @@ def main():
     ap.add_argument("--env", default="pong")
     ap.add_argument("--port", type=int, default=8000)
     ap.add_argument("--host", default="0.0.0.0")
+    ap.add_argument("--platform", default=None,
+                    help="Force a JAX platform (e.g. cpu) — interactive "
+                         "play doesn't need the TPU")
     args = ap.parse_args()
 
     import sys
 
     sys.path.insert(0, os.path.join(os.path.dirname(__file__), ".."))
+    if args.platform:
+        import jax
+
+        jax.config.update("jax_platforms", args.platform)
     from scmgan_tpu.envs import HostEnv, get_env
 
     env = HostEnv(get_env(args.env))
