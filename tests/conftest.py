@@ -22,7 +22,7 @@ import jax  # noqa: E402
 jax.config.update("jax_platforms", "cpu")
 # Persistent compilation cache: the suite is compile-bound on CPU; cached
 # executables make repeat runs fast.
-jax.config.update("jax_compilation_cache_dir", "/tmp/jax_test_cache")
+jax.config.update("jax_compilation_cache_dir", "/root/repo/.jax_cache")
 jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.5)
 import numpy as np  # noqa: E402
 import pytest  # noqa: E402
