@@ -227,16 +227,24 @@ def world_model_loss(
             # td_steps window and lambda^age weights.
             s = lo_buf.shape[0]
             slot_ids = jnp.arange(s)
-            # advance all currently-valid slots with action[t-1]
+            # advance all currently-valid slots with action[t-1].
+            # Rematerialized: the backward pass otherwise keeps the conv
+            # activations of this S*B-batch transition for every scan step
+            # — at horizon 10 that alone exceeds HBM (observed 17.9G of
+            # 15.75G).  Recomputing them costs ~1/3 extra LO FLOPs.
             flat = lo_buf.reshape(s * b, hh, ww, latent_dim)
             a_rep = jnp.tile(act_tm[t - 1], (s, 1))
-            adv = transition(params.transition, flat, a_rep, k_lo, train=True)
+            lo_advance = jax.checkpoint(
+                lambda p, x, a, k: transition(p, x, a, k, train=True))
+            adv = lo_advance(params.transition, flat, a_rep, k_lo)
             adv = adv.reshape(s, b, hh, ww, latent_dim)
             lo_buf = jnp.where(
                 lo_valid[:, None, None, None, None] > 0, adv, lo_buf
             )
             # fresh encoding of window t-1:t+2 -> slot (t mod S)
-            fresh = encode(
+            # (also rematerialized — one encoder activation set per scan
+            # step adds up across the unrolled-backward scan)
+            fresh = jax.checkpoint(encode)(
                 params.encoder,
                 jax.lax.dynamic_slice_in_dim(obs_tm, t - 1, 3, axis=0)
                 .swapaxes(0, 1),
