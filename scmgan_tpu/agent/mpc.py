@@ -70,8 +70,11 @@ def rollout_reward_table(
     first-action loop folded into the same batch.
 
     ``use_int8`` routes the beam through the quantized serving transition
-    (models/quantized.py, ~2.2x faster on v5e) — appropriate for live MPC
-    play where planner fidelity tolerates the >95%-bit-agreement path.
+    (models/quantized.py, ~2.2x faster on v5e).  Caveat: when per-action
+    scores are near-ties (e.g. pong), quantization noise can flip the
+    argmax — measured ~34% argmax agreement / 0.52 rank correlation vs the
+    exact path on a trained pong model.  Use where score gaps are
+    decisive, or for the rollout tail rather than the ranking head.
     """
     if use_int8:
         from scmgan_tpu.models.quantized import (
