@@ -136,3 +136,31 @@ def test_xla_int8_transition_matches(key):
     # int8 is a lossy serving mode; bit agreement should still be high
     assert match > 0.95, match
     assert set(np.unique(np.asarray(out))) <= {0.0, 1.0}
+
+
+def test_int8_pallas_kernel_matches_xla_int8(monkeypatch, key):
+    """v3 pallas int8 kernel vs the XLA int8 path, small shapes,
+    interpret mode."""
+    from jax.experimental import pallas as pl
+
+    import scmgan_tpu.ops.pallas.int8_kernel as ik
+    from scmgan_tpu.models import init_world_model
+    from scmgan_tpu.models.quantized import (
+        quantize_transition,
+        transition_int8,
+    )
+
+    orig = pl.pallas_call
+
+    def interp(*a, **k):
+        k["interpret"] = True
+        return orig(*a, **k)
+
+    monkeypatch.setattr(ik.pl, "pallas_call", interp)
+    wm = init_world_model(key, 8, 4, 1, 3, 3, img_size=16)
+    z = (jax.random.uniform(key, (2, 16, 16, 8)) > 0.5).astype(jnp.float32)
+    a = jax.nn.one_hot(jnp.array([1, 3]), 4)
+    ref = transition_int8(quantize_transition(wm.transition), z, a)
+    out = ik.int8_fused_transition(wm.transition, z, a)
+    match = float((ref == out).mean())
+    assert match > 0.99, match
