@@ -93,3 +93,18 @@ def test_batch_shardings_place_on_data_axis():
     x = jnp.zeros((8, 4, 16, 16, 3))
     sharded = shard_pytree((x,), batch_shardings((x,), mesh))[0]
     assert sharded.sharding.spec[0] == "data"
+
+
+def test_distributed_init_noop_single_process(monkeypatch):
+    from scmgan_tpu.parallel import distributed
+
+    monkeypatch.delenv("JAX_COORDINATOR_ADDRESS", raising=False)
+    monkeypatch.delenv("COORDINATOR_ADDRESS", raising=False)
+    assert distributed.initialize() is False
+
+
+def test_process_batch_slice_single():
+    from scmgan_tpu.parallel import distributed
+
+    local, offset = distributed.process_batch_slice(32)
+    assert local == 32 and offset == 0
