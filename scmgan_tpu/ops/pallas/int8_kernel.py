@@ -94,19 +94,35 @@ def _hpad(x):
     return jnp.concatenate([x[-1:], x, x[:1]], axis=0)
 
 
-def _conv_i8(x_i8, wq, wscale, bias, acc0=None):
-    """int8 circular 3x3 conv via 3 W-shifted H-padded buffers; returns the
-    f32 dequantized pre-activation (H, W, Cout)."""
+def _conv_i8(x_i8, wq, wscale, bias, acc0=None, *, schedule: str = "v3"):
+    """int8 circular 3x3 conv; returns the f32 dequantized pre-activation
+    (H, W, Cout).
+
+    schedule="v3": 9 matmuls of K=C on free row slices of 3 W-shifted
+    H-padded buffers (~1.5 MB copies/conv).
+    schedule="v4": per W-shift, the 3 H-taps channel-concat into one
+    (H*W, 3C) patch so each shift is ONE matmul of K=3C (3 matmuls/conv,
+    better MXU pipelining, ~4.5 MB copies/conv).
+    """
     h, wdim, cin = x_i8.shape
     cout = wq.shape[-1]
     acc = jnp.zeros((h * wdim, cout), jnp.int32)
     for kw in range(3):
         # tap offset kw corresponds to input shift s = 1 - kw
         buf = _hpad(_wshift(x_i8, 1 - kw))          # (H+2, W, C)
-        for kh in range(3):
-            xs = buf[kh:kh + h].reshape(h * wdim, cin)  # free row slice
-            acc = acc + jnp.dot(xs, wq[kh * 3 + kw],
+        if schedule == "v4":
+            patches = jnp.concatenate(
+                [buf[kh:kh + h] for kh in range(3)], axis=-1
+            ).reshape(h * wdim, 3 * cin)
+            wmat = jnp.concatenate(
+                [wq[kh * 3 + kw] for kh in range(3)], axis=0)
+            acc = acc + jnp.dot(patches, wmat,
                                 preferred_element_type=jnp.int32)
+        else:
+            for kh in range(3):
+                xs = buf[kh:kh + h].reshape(h * wdim, cin)  # free row slice
+                acc = acc + jnp.dot(xs, wq[kh * 3 + kw],
+                                    preferred_element_type=jnp.int32)
     y = acc.astype(jnp.float32) * wscale + bias
     if acc0 is not None:
         y = y + acc0
@@ -119,24 +135,26 @@ def _requant(y):
         jnp.int8)
 
 
-def _make_kernel(sample: bool):
+def _make_kernel(sample: bool, schedule: str = "v3"):
+    conv = lambda *a, **k: _conv_i8(*a, schedule=schedule, **k)
+
     def kernel(seed_ref, x_ref,
                w1, w2, w3, w4, w5a, w5b, w6a, w6b,
                s1, s2, s3, s4, s5a, s5b, s6a, s6b,
                b1, b2, b3, b4, b5, b6,
                out_ref):
         x = x_ref[0]
-        h1 = _requant(_conv_i8(x, w1[:], s1[:], b1[:]))
-        h2 = _requant(_conv_i8(h1, w2[:], s2[:], b2[:]))
-        h3 = _requant(_conv_i8(h2, w3[:], s3[:], b3[:]))
-        h4 = _requant(_conv_i8(h3, w4[:], s4[:], b4[:]))
+        h1 = _requant(conv(x, w1[:], s1[:], b1[:]))
+        h2 = _requant(conv(h1, w2[:], s2[:], b2[:]))
+        h3 = _requant(conv(h2, w3[:], s3[:], b3[:]))
+        h4 = _requant(conv(h3, w4[:], s4[:], b4[:]))
         hh, ww = x.shape[0], x.shape[1]
-        pre5 = (_conv_i8(h4, w5a[:], s5a[:], b5[:])
-                + _conv_i8(h2, w5b[:], s5b[:],
-                           jnp.zeros_like(b5[:]))).reshape(hh, ww, -1)
+        pre5 = (conv(h4, w5a[:], s5a[:], b5[:])
+                + conv(h2, w5b[:], s5b[:],
+                       jnp.zeros_like(b5[:]))).reshape(hh, ww, -1)
         h5 = _requant(pre5)
-        logits = (_conv_i8(h5, w6a[:], s6a[:], b6[:])
-                  + _conv_i8(h1, w6b[:], s6b[:], jnp.zeros_like(b6[:])))
+        logits = (conv(h5, w6a[:], s6a[:], b6[:])
+                  + conv(h1, w6b[:], s6b[:], jnp.zeros_like(b6[:])))
         p = jax.nn.sigmoid(logits)
         if sample:
             pltpu.prng_seed(seed_ref[0] + pl.program_id(0))
@@ -155,12 +173,13 @@ _OPS = ["w1", "w2", "w3", "w4", "w5a", "w5b", "w6a", "w6b",
         "b1", "b2", "b3", "b4", "b5", "b6"]
 
 
-@functools.partial(jax.jit, static_argnames=("sample",))
-def int8_kernel_call(packed, x_i8, seed, *, sample: bool = False):
+@functools.partial(jax.jit, static_argnames=("sample", "schedule"))
+def int8_kernel_call(packed, x_i8, seed, *, sample: bool = False,
+                     schedule: str = "v3"):
     """x_i8: (B, H, W, c_in1_pad) int8 -> (B, H, W, latent_pad) int8."""
     b, h, w, c_pad = x_i8.shape
     latent_pad = packed["w6a"].shape[-1]
-    kernel = _make_kernel(sample)
+    kernel = _make_kernel(sample, schedule)
     args = [packed[n] for n in _OPS]
     w_specs = [
         pl.BlockSpec(a.shape, lambda i, *_, _n=a.ndim: (0,) * _n,
