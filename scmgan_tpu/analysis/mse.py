@@ -102,7 +102,11 @@ def measure_prediction_mse(
 ):
     """Returns (mse_losses, mse_stddevs, reward_losses, reward_stddevs) as
     python lists, after writing the reference's JSON/PNG artifacts."""
-    batch = datasource.collect(batch_size, timesteps, key=key)
+    # training=use_training_set matches the reference's split selection
+    # (main.py:791): --evaluate mode passes True (train split), the periodic
+    # in-training eval leaves the default False (held-out test split).
+    batch = datasource.collect(batch_size, timesteps, key=key,
+                               training=use_training_set)
     mse_m, mse_s, rew_m, rew_s, n_active = (
         np.asarray(x)
         for x in _free_run_stats(params, batch, datasource.binary_input_channels)

@@ -37,8 +37,14 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("--learning-rate", type=float, default=1e-4)
     p.add_argument("--finetune-reward", action="store_true")
     p.add_argument("--reward-coef", type=float, default=1e-3)
-    p.add_argument("--activation-l1-coef", type=float, default=1e-2)
-    p.add_argument("--transition-l1-coef", type=float, default=1e-2)
+    # The reference parses these at 1e-2 but never applies them (its L1 loss
+    # block is commented out, main.py:199-213) — so its *behavioral* default
+    # is off.  We default to 0.0 and actually apply nonzero values.
+    p.add_argument("--activation-l1-coef", type=float, default=0.0)
+    p.add_argument("--transition-l1-coef", type=float, default=0.0)
+    p.add_argument("--deterministic-transition", action="store_true",
+                   help="Disable the straight-through Bernoulli sampler at "
+                        "train time (deterministic-model ablation axis)")
     p.add_argument("--enable-action-control-loss", action="store_true")
     p.add_argument("--enable-disentanglement-loss", action="store_true")
     p.add_argument("--counterfactual-horizon", type=int, default=1)
@@ -102,6 +108,7 @@ def config_from_args(args):
         reward_coef=args.reward_coef,
         activation_l1_coef=args.activation_l1_coef,
         transition_l1_coef=args.transition_l1_coef,
+        deterministic_transition=args.deterministic_transition,
         enable_action_control_loss=args.enable_action_control_loss,
         enable_disentanglement_loss=args.enable_disentanglement_loss,
         counterfactual_horizon=args.counterfactual_horizon,

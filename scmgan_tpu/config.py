@@ -44,8 +44,16 @@ class Config:
     horizon_max: int = 10
     finetune_reward: bool = False
     reward_coef: float = 1e-3
-    activation_l1_coef: float = 1e-2   # parsed but disabled in the reference
-    transition_l1_coef: float = 1e-2   # (main.py:199-213, commented out)
+    # The reference parses these at 1e-2 but the L1 loss terms themselves are
+    # commented out (main.py:199-213), so its effective default is *disabled*.
+    # We default to 0.0 (= the reference's real behavior) and actually wire
+    # the coefficients through to the loss; pass a nonzero value to enable.
+    activation_l1_coef: float = 0.0
+    transition_l1_coef: float = 0.0
+    # Ablation axis: disable the straight-through Bernoulli sampler at train
+    # time (deterministic sigmoid latents) — the reference's deterministic
+    # model variant (scripts/generate_mse_plot_deterministic.py:41-67).
+    deterministic_transition: bool = False
     enable_action_control_loss: bool = False
     enable_disentanglement_loss: bool = False
     counterfactual_horizon: int = 1

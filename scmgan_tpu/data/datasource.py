@@ -42,9 +42,12 @@ class Datasource:
 
     # -- device-native -----------------------------------------------------
     def collect(self, batch_size: int, timesteps: int, policy: str = "random",
-                key: Optional[jax.Array] = None):
+                key: Optional[jax.Array] = None, training: bool = True):
         """(obs NHWC f32, rewards (B,T,R), dones (B,T), actions (B,T)) on
-        device."""
+        device.  ``training`` selects the train/test replay split for
+        host-process envs (reference main.py:791); synthetic on-device envs
+        generate fresh trajectories either way, like the reference's
+        (envs/betterpong.py:115-116)."""
         if key is None:
             key = self._next_key()
         return rollout(self.spec, key, batch_size, timesteps, policy)

@@ -79,6 +79,9 @@ class HostActor:
         max_trajectory_len: int = 150,
         max_episodes_per_env: int = 500,
         episode_sleep: float = 0.0,
+        warmup_steps: int = 0,
+        warmup_action: int = 0,
+        split_reward: Optional[Callable] = None,
     ):
         self.make_env = make_env
         self.buffer = buffer
@@ -88,8 +91,16 @@ class HostActor:
         self.max_trajectory_len = max_trajectory_len
         self.max_episodes_per_env = max_episodes_per_env
         self.episode_sleep = episode_sleep
+        # post-reset no-op steps (reference envs/sc2_micro_battle.py:39-41)
+        self.warmup_steps = warmup_steps
+        self.warmup_action = warmup_action
+        # custom (reward_sum, info) -> reward-vector hook; zergling defense
+        # takes its 4 channels from the info dict
+        # (reference envs/sc2_zergling_defense.py:84).
+        self.split_reward = split_reward
         self.episodes_played = 0
         self._thread: Optional[threading.Thread] = None
+        self._env = None
         self.error: Optional[BaseException] = None
 
     def start(self):
@@ -99,20 +110,28 @@ class HostActor:
     def is_alive(self) -> bool:
         return self._thread is not None and self._thread.is_alive()
 
+    def play_episodes(self, n: int):
+        """Synchronously play ``n`` episodes into the buffer, creating and
+        recycling the env as needed (also the reference's on-demand refill
+        path, envs/sc2_micro_battle.py:21-33)."""
+        if self._env is None:
+            self._env = self.make_env()
+        for _ in range(n):
+            self._play_episode(self._env)
+            self.episodes_played += 1
+            if (self.episodes_played % self.max_episodes_per_env) == 0:
+                # recycle the env to flush emulator/game-process leaks
+                try:
+                    close = getattr(self._env, "close", None)
+                    if close:
+                        close()
+                finally:
+                    self._env = self.make_env()
+
     def _run(self):
-        env = self.make_env()
         try:
             while True:
-                self._play_episode(env)
-                self.episodes_played += 1
-                if (self.episodes_played % self.max_episodes_per_env) == 0:
-                    # recycle the env to flush emulator/game-process leaks
-                    try:
-                        close = getattr(env, "close", None)
-                        if close:
-                            close()
-                    finally:
-                        env = self.make_env()
+                self.play_episodes(1)
                 if self.episode_sleep:
                     time.sleep(self.episode_sleep)
         except BaseException as e:  # surfaced to the trainer via liveness
@@ -122,6 +141,8 @@ class HostActor:
     def _play_episode(self, env):
         states, rewards, actions = [], [], []
         state = env.reset()
+        for _ in range(self.warmup_steps):
+            state, _, _, _ = env.step(self.warmup_action)
         reward = np.zeros(self.num_rewards)
         done = False
         while True:
@@ -144,6 +165,9 @@ class HostActor:
     def _split_reward(self, reward_sum, info):
         """(positive, negative) channel split (envs/minipacman.py:104-106)
         when num_rewards == 2; raw scalar/vector otherwise."""
+        if self.split_reward is not None:
+            return np.atleast_1d(
+                np.asarray(self.split_reward(reward_sum, info), np.float32))
         if self.num_rewards == 2 and np.isscalar(reward_sum):
             return np.array([max(0.0, reward_sum), min(0.0, reward_sum)],
                             np.float32)
@@ -158,7 +182,8 @@ class HostReplayDatasource:
                  channels: int, convert_frame=lambda s: s,
                  min_buffer_len: int = 4, capacity: int = 50,
                  max_trajectory_len: int = 150, seed: int = 0,
-                 policy=None):
+                 policy=None, warmup_steps: int = 0, warmup_action: int = 0,
+                 split_reward=None, sync_refill_factor: Optional[int] = None):
         self.binary_input_channels = num_actions
         self.scalar_output_channels = num_rewards
         self.conv_input_channels = channels
@@ -166,10 +191,18 @@ class HostReplayDatasource:
         self.min_buffer_len = min_buffer_len
         self._make_env = make_env
         self._convert = convert_frame
+        # sync_refill_factor = the reference's REPLAY_FACTOR pattern
+        # (envs/sc2_micro_battle.py:10,72-74): no daemon thread; every
+        # get_trajectories synchronously plays
+        # max(batch - len(buffer), ceil(batch / factor)) fresh episodes.
+        self.sync_refill_factor = sync_refill_factor
         self.buffer = ReplayBuffer(capacity=capacity, seed=seed)
         self.actor = HostActor(make_env, self.buffer, num_rewards,
                                convert_frame, policy=policy,
-                               max_trajectory_len=max_trajectory_len)
+                               max_trajectory_len=max_trajectory_len,
+                               warmup_steps=warmup_steps,
+                               warmup_action=warmup_action,
+                               split_reward=split_reward)
         self._started = False
         self._rng = np.random.default_rng(seed)
 
@@ -195,8 +228,19 @@ class HostReplayDatasource:
         (envs/minipacman.py:139-164).  Uses the native C stitcher when
         available (scmgan_tpu/native/src/stitcher.c); falls back to the
         Python loop."""
-        self._ensure_started()
+        if self.sync_refill_factor is not None:
+            # on-demand refill instead of a daemon actor
+            # (envs/sc2_micro_battle.py:70-74)
+            import math
+            need = max(batch_size - self.buffer.size(training),
+                       math.ceil(batch_size / self.sync_refill_factor))
+            self.actor.play_episodes(need)
+        else:
+            self._ensure_started()
         while self.buffer.size(training) < self.min_buffer_len:
+            if self.sync_refill_factor is not None:
+                self.actor.play_episodes(1)
+                continue
             print("Waiting for replay buffer to fill, buffer size {}/{}..."
                   .format(self.buffer.size(training), self.min_buffer_len))
             time.sleep(1)
@@ -261,17 +305,19 @@ class HostReplayDatasource:
                             random_start=random_start, seed=seed)
 
     def collect(self, batch_size: int, timesteps: int, policy: str = "random",
-                key=None):
+                key=None, training: bool = True):
         """Device-native view: NHWC float32 jnp arrays.
 
         Stored episodes follow the reference's channels-first convention
         (convert_frame transposes to CHW, envs/minipacman.py:167-168);
         the trainer consumes NHWC, so the channel axis moves last here.
+        ``training=False`` samples the 20% test holdout
+        (reference main.py:791, envs/minipacman.py:112-119).
         """
         import jax.numpy as jnp
 
         states, rewards, dones, actions = self.get_trajectories(
-            batch_size, timesteps)
+            batch_size, timesteps, training=training)
         obs = jnp.asarray(np.moveaxis(states, 2, -1), jnp.float32)
         return (obs, jnp.asarray(rewards, jnp.float32),
                 jnp.asarray(dones), jnp.asarray(actions, jnp.int32))

