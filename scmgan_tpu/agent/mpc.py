@@ -50,7 +50,7 @@ def _action_table(num_actions: int, lookahead: int, rollout_depth: int,
 
 @partial(jax.jit, static_argnames=("num_actions", "lookahead", "rollout_depth",
                                    "rollout_policy", "negative_positive_tradeoff",
-                                   "use_int8"))
+                                   "use_int8", "int8_tail"))
 def rollout_reward_table(
     params: WorldModel,
     z: jax.Array,
@@ -61,6 +61,8 @@ def rollout_reward_table(
     negative_positive_tradeoff: float = 10.0,
     key: Optional[jax.Array] = None,
     use_int8: bool = False,
+    int8_tail: bool = False,
+    qt=None,
 ):
     """Expected best cumulative reward per first action.
 
@@ -69,43 +71,60 @@ def rollout_reward_table(
     reward), replicating compute_rollout_reward (main.py:455-489) with the
     first-action loop folded into the same batch.
 
-    ``use_int8`` routes the beam through the quantized serving transition
-    (models/quantized.py, ~2.2x faster on v5e).  Caveat: when per-action
-    scores are near-ties (e.g. pong), quantization noise can flip the
-    argmax — measured ~34% argmax agreement / 0.52 rank correlation vs the
-    exact path on a trained pong model.  Use where score gaps are
-    decisive, or for the rollout tail rather than the ranking head.
+    Speed/fidelity knobs for the quantized serving transition
+    (models/quantized.py, ~2.2x faster on v5e):
+      * ``use_int8``      — whole beam through int8.  Caveat: with the
+        uncalibrated static scales, near-tie scores (e.g. pong) flip the
+        argmax (~34% agreement measured round 1).
+      * ``int8_tail``     — the enumerated head (first + lookahead steps,
+        the part that differentiates candidate actions) runs exact; only
+        the noop/random rollout tail runs int8.
+      * ``qt``            — a prebuilt QuantizedTransition; pass one from
+        calibrate_transition for per-channel calibrated scales (much
+        higher rank fidelity than the static-scale default).
+    The reward-scoring head (predict_reward) is always exact.
     """
-    if use_int8:
+    if use_int8 or int8_tail:
         from scmgan_tpu.models.quantized import (
             quantize_transition,
             transition_int8,
         )
 
-        qt = quantize_transition(params.transition)
-        step_fn = lambda zb, a: transition_int8(qt, zb, a)
-    else:
-        step_fn = lambda zb, a: transition(params.transition, zb, a,
-                                           train=False)
+        if qt is None:
+            qt = quantize_transition(params.transition)
+        int8_step = lambda zb, a: transition_int8(qt, zb, a)
+    exact_step = lambda zb, a: transition(params.transition, zb, a,
+                                          train=False)
+    head_fn = exact_step if (int8_tail and not use_int8) else (
+        int8_step if use_int8 else exact_step)
+    tail_fn = int8_step if (use_int8 or int8_tail) else exact_step
 
     table = _action_table(num_actions, lookahead, rollout_depth,
                           rollout_policy, key)
     width = table.shape[0]
     z_beam = jnp.broadcast_to(z, (width,) + z.shape[1:])
     a0 = jax.nn.one_hot(table[:, 0], num_actions, dtype=z.dtype)
-    z_beam = step_fn(z_beam, a0)
+    z_beam = head_fn(z_beam, a0)
     cumulative = predict_reward(params.reward_predictor, z_beam)
+
+    # enumerated lookahead block (exact under int8_tail), then the rollout
+    # tail — reference structure: main.py:467-479.
+    for i in range(lookahead):
+        a_oh = jax.nn.one_hot(table[:, 1 + i], num_actions, dtype=z_beam.dtype)
+        z_beam = head_fn(z_beam, a_oh)
+        cumulative = cumulative + predict_reward(params.reward_predictor,
+                                                 z_beam)
 
     def step(carry, a_t):
         z_beam, cum = carry
         a_oh = jax.nn.one_hot(a_t, num_actions, dtype=z_beam.dtype)
-        z_beam = step_fn(z_beam, a_oh)
+        z_beam = tail_fn(z_beam, a_oh)
         z_beam = jax.lax.stop_gradient(z_beam)
         cum = cum + predict_reward(params.reward_predictor, z_beam)
         return (z_beam, cum), None
 
     (_, cumulative), _ = jax.lax.scan(
-        step, (z_beam, cumulative), jnp.swapaxes(table[:, 1:], 0, 1))
+        step, (z_beam, cumulative), jnp.swapaxes(table[:, 1 + lookahead:], 0, 1))
 
     # Heuristic caution: weight reward channel 0 (main.py:483-484).
     cumulative = cumulative.at[:, 0].multiply(negative_positive_tradeoff)
@@ -117,14 +136,44 @@ def rollout_reward_table(
 def make_planner(params: WorldModel, num_actions: int, lookahead: int = 2,
                  rollout_depth: int = 12, rollout_policy: str = "noop",
                  negative_positive_tradeoff: float = 10.0,
-                 use_int8: bool = False):
+                 use_int8: bool = False, int8_tail: bool = False, qt=None):
     """Returns plan(z, key=None) -> (best_action, scores)."""
 
     def plan(z, key=None):
         scores = rollout_reward_table(
             params, z, num_actions, lookahead, rollout_depth,
             rollout_policy, negative_positive_tradeoff, key=key,
-            use_int8=use_int8)
+            use_int8=use_int8, int8_tail=int8_tail, qt=qt)
         return int(jnp.argmax(scores)), scores
 
     return plan
+
+
+def calibrated_qt(params: WorldModel, z: jax.Array, num_actions: int,
+                  key: Optional[jax.Array] = None, n_samples: int = 32,
+                  steps: int = 4):
+    """Build a calibrated QuantizedTransition from a seed latent state.
+
+    Rolls the exact transition ``steps`` times from ``z`` under random
+    actions to produce a diverse latent population, then calibrates
+    per-channel activation scales on it (models/quantized.py).
+    """
+    from scmgan_tpu.models.quantized import calibrate_transition
+
+    if key is None:
+        key = jax.random.PRNGKey(0)
+    zs = jnp.repeat(z, n_samples, axis=0)
+    samples = [zs]
+    for i in range(steps):
+        key, k1, k2 = jax.random.split(key, 3)
+        a = jax.nn.one_hot(
+            jax.random.randint(k1, (zs.shape[0],), 0, num_actions),
+            num_actions, dtype=zs.dtype)
+        zs = transition(params.transition, zs, a, train=False)
+        samples.append(zs)
+    z_all = jnp.concatenate(samples, axis=0)
+    key, k_act = jax.random.split(key)
+    a_all = jax.nn.one_hot(
+        jax.random.randint(k_act, (z_all.shape[0],), 0, num_actions),
+        num_actions, dtype=z_all.dtype)
+    return calibrate_transition(params.transition, z_all, a_all)

@@ -51,6 +51,15 @@ def play(params: WorldModel, datasource, max_steps: int = 300,
     z = encode_window(state_list)
     z = transition(params.transition, z, onehot(no_op), train=False)
 
+    # int8 planning runs calibrated per-channel quantization with an exact
+    # enumerated head (rank-faithful hybrid; see agent/mpc.py docstring).
+    qt = None
+    if use_int8:
+        from scmgan_tpu.agent.mpc import calibrated_qt
+
+        qt = calibrated_qt(params, z, num_actions,
+                           key=jax.random.PRNGKey(seed or 0))
+
     ts = int(time.time())
     vid = Video(os.path.join(out_dir, f"SimpleRolloutAgent-{ts}.mp4"),
                 framerate=10)
@@ -62,7 +71,7 @@ def play(params: WorldModel, datasource, max_steps: int = 300,
     while not done:
         scores = rollout_reward_table(
             params, z, num_actions, lookahead, rollout_depth, "noop",
-            negative_positive_tradeoff, use_int8=use_int8)
+            negative_positive_tradeoff, int8_tail=use_int8, qt=qt)
         max_a = int(jnp.argmax(scores))
 
         obs, reward, done, info = env.step(max_a)

@@ -41,6 +41,7 @@ class QuantizedTransition(NamedTuple):
     weights: dict     # name -> int8 HWIO kernel
     scales: dict      # name -> f32 (Cout,) folded (w_scale * in_scale)
     biases: dict      # name -> f32 (Cout,)
+    requant: dict     # name -> f32 (Cout,) or scalar: 1 / output act scale
 
 
 def _quantize(w: jax.Array):
@@ -67,7 +68,87 @@ def quantize_transition(params: dict, latent_dim: int = None,
         weights[name] = q
         scales[name] = ws * in_scale
         biases[name] = params[name]["b"].astype(jnp.float32)
-    return QuantizedTransition(weights, scales, biases)
+    requant = {name: jnp.float32(1.0 / ACT_SCALE) for name, _, _ in specs}
+    return QuantizedTransition(weights, scales, biases, requant)
+
+
+def calibrate_transition(params: dict, z_samples: jax.Array,
+                         action_onehots: jax.Array,
+                         percentile: float = 99.95) -> QuantizedTransition:
+    """Calibrated per-channel w8a8 quantization of the transition.
+
+    The static-scale pipeline (``quantize_transition``) assumes every
+    leaky-ReLU output lives in [0, 8]; real trained activations are much
+    tighter and channel-dependent, wasting int8 resolution (>95% bit
+    agreement but only ~34% MPC argmax agreement on near-tie scores).
+    This variant runs the exact transition on a calibration batch, records
+    a per-channel ``percentile`` activation range per layer, and folds each
+    layer's per-channel *input* scale into the next layer's weights before
+    per-output-channel weight quantization — so the runtime kernels
+    (``transition_int8`` / ``_halo`` / ``_split``) are unchanged; only the
+    packed weights/scales differ.
+
+    z_samples: (N, H, W, L) binary latents; action_onehots: (N, A).
+    """
+    from scmgan_tpu.models.world_model import transition as exact_transition
+
+    # exact forward with intermediates (float32 for calibration fidelity)
+    p32 = jax.tree.map(lambda x: x.astype(jnp.float32), params)
+    h1, h2, h3, h4, h5, _ = exact_transition(
+        p32, z_samples.astype(jnp.float32),
+        action_onehots.astype(jnp.float32), train=False, return_all=True)
+
+    def chan_range(x):
+        # per-channel |activation| percentile over batch+space
+        flat = jnp.abs(x.reshape(-1, x.shape[-1]))
+        r = jnp.percentile(flat, percentile, axis=0)
+        return jnp.maximum(r, 1e-4)
+
+    act_scale = {
+        "conv1": chan_range(h1) / 127.0,   # scale of conv1's OUTPUT
+        "conv2": chan_range(h2) / 127.0,
+        "conv3": chan_range(h3) / 127.0,
+        "conv4": chan_range(h4) / 127.0,
+        "conv5": chan_range(h5) / 127.0,
+    }
+
+    latent = z_samples.shape[-1]
+    hid = act_scale["conv2"].shape[0]
+
+    def in_scales(name):
+        """Per-input-channel scale vector for each conv's input."""
+        if name == "conv1":
+            return jnp.ones((latent + action_onehots.shape[-1],), jnp.float32)
+        if name in ("conv2", "conv3", "conv4"):
+            return act_scale[{"conv2": "conv1", "conv3": "conv2",
+                              "conv4": "conv3"}[name]]
+        if name == "conv5":  # concat(h4, h2)
+            return jnp.concatenate([act_scale["conv4"], act_scale["conv2"]])
+        if name == "conv6":  # concat(h5, h1)
+            return jnp.concatenate([act_scale["conv5"], act_scale["conv1"]])
+        raise ValueError(name)
+
+    weights, scales, biases = {}, {}, {}
+    w_by_name = {
+        "conv1": sn_weight(params["conv1"]),
+        "conv2": sn_weight(params["conv2"]),
+        "conv3": sn_weight(params["conv3"]),
+        "conv4": sn_weight(params["conv4"]),
+        "conv5": sn_weight(params["conv5"]),
+        "conv6": params["conv6"]["w"],
+    }
+    for name, w in w_by_name.items():
+        s_in = in_scales(name)
+        w_folded = w.astype(jnp.float32) * s_in[None, None, :, None]
+        q, ws = _quantize(w_folded)
+        weights[name] = q
+        scales[name] = ws  # input scale already folded per-channel
+        biases[name] = params[name]["b"].astype(jnp.float32)
+    # requant divisors: this layer's own per-channel output scale
+    requant = {name: 1.0 / act_scale[name]
+               for name in ("conv1", "conv2", "conv3", "conv4", "conv5")}
+    requant["conv6"] = jnp.float32(1.0)  # never requantized (logits head)
+    return QuantizedTransition(weights, scales, biases, requant)
 
 
 def _qconv(qt: QuantizedTransition, name: str, x_i8: jax.Array,
@@ -87,10 +168,161 @@ def _qconv(qt: QuantizedTransition, name: str, x_i8: jax.Array,
     if not requant:
         return y.astype(jnp.float32)
     y = jnp.where(y >= 0, y, jnp.asarray(0.01, epilogue_dtype) * y)
-    q = jnp.round(y.astype(jnp.float32) * (1.0 / ACT_SCALE)) \
+    rq = qt.requant[name]
+    q = jnp.round(y.astype(jnp.float32) * rq) \
         if epilogue_dtype == jnp.float32 else \
-        jnp.round(y * jnp.asarray(1.0 / ACT_SCALE, epilogue_dtype))
+        jnp.round(y * rq.astype(epilogue_dtype))
     return jnp.clip(q, -127, 127).astype(jnp.int8)
+
+
+def _qepilogue(qt: QuantizedTransition, name: str, acc: jax.Array,
+               *, requant: bool = True, epilogue_dtype=jnp.float32,
+               extra_bias_i32: Optional[jax.Array] = None):
+    """Dequant + bias + leaky-ReLU + requant on an int32 accumulator."""
+    if extra_bias_i32 is not None:
+        acc = acc + extra_bias_i32[:, None, None, :]
+    y = (acc.astype(epilogue_dtype) * qt.scales[name].astype(epilogue_dtype)
+         + qt.biases[name].astype(epilogue_dtype))
+    if not requant:
+        return y.astype(jnp.float32)
+    y = jnp.where(y >= 0, y, jnp.asarray(0.01, epilogue_dtype) * y)
+    rq = qt.requant[name]
+    q = jnp.round(y.astype(jnp.float32) * rq) \
+        if epilogue_dtype == jnp.float32 else \
+        jnp.round(y * rq.astype(epilogue_dtype))
+    return jnp.clip(q, -127, 127).astype(jnp.int8)
+
+
+def _vconv(x_i8: jax.Array, w_i8: jax.Array, pad: int = 0) -> jax.Array:
+    """VALID int8 conv; negative ``pad`` crops the input inside the conv
+    config (free — no materialized slice)."""
+    padding = "VALID" if pad == 0 else [(pad, pad), (pad, pad)]
+    return lax.conv_general_dilated(
+        x_i8, w_i8, (1, 1), padding, dimension_numbers=DN,
+        preferred_element_type=jnp.int32)
+
+
+def transition_int8_halo(qt: QuantizedTransition, z: jax.Array,
+                         action_onehot: jax.Array,
+                         key: Optional[jax.Array] = None, *,
+                         sample: bool = False,
+                         epilogue_dtype=jnp.bfloat16) -> jax.Array:
+    """Halo-chain serving transition: bit-identical int32 accumulations to
+    ``transition_int8`` with ~2.5 GB/step less HBM traffic at batch 256.
+
+    Three structural rewrites of the same arithmetic:
+
+      * ONE wrap-pad to (H+12, W+12) feeds all six convs as a shrinking
+        VALID chain (circular convs are shift-equivariant on the torus, so
+        conv_VALID(wrap_pad(x, k)) == wrap_pad(conv_circ(x), k-1) — by
+        induction the chain is exact).  The reference instead re-pads
+        before every conv (models.py:51-56); under XLA a wrap pad cannot
+        fold into the conv config, so each one materializes a full copy.
+      * The U-Net concats (reference models.py:96-101) become split-kernel
+        conv sums: conv(concat(a, b), W) == conv(a, W[..., :Ca, :]) +
+        conv(b, W[..., Ca:, :]).  Skip tensors are center-cropped via
+        negative conv padding — free in the conv config.
+      * conv1's action half is a conv of a spatially-constant one-hot map,
+        i.e. a rank-1 term: one_hot @ sum_taps(W1[..., L:, :]) — folded
+        into the epilogue as a per-sample int32 bias.
+
+    Spatial sizes along the chain (64x64 latents): pad 76 -> conv1 74 ->
+    conv2 72 -> conv3 70 -> conv4 68 -> conv5 66 -> conv6 64.  The halo
+    recompute costs ~13.5% extra MXU flops, traded for the removed pad
+    and concat round-trips (a net win: the path is partially memory-bound).
+    """
+    b, h, w, latent = z.shape
+    ep = epilogue_dtype
+
+    zp = jnp.pad(z.astype(jnp.int8), ((0, 0), (6, 6), (6, 6), (0, 0)),
+                 mode="wrap")
+
+    w1 = qt.weights["conv1"]
+    # Per-sample action bias: exact int32 contribution of the one-hot map.
+    w1a_sum = jnp.sum(w1[:, :, latent:, :].astype(jnp.int32), axis=(0, 1))
+    a_bias = lax.dot(action_onehot.astype(jnp.int32), w1a_sum,
+                     preferred_element_type=jnp.int32)
+
+    def epi(name, acc, **kw):
+        return _qepilogue(qt, name, acc, epilogue_dtype=ep, **kw)
+
+    h1 = epi("conv1", _vconv(zp, w1[:, :, :latent, :]),
+             extra_bias_i32=a_bias)                                   # 74
+    h2 = epi("conv2", _vconv(h1, qt.weights["conv2"]))                # 72
+    h3 = epi("conv3", _vconv(h2, qt.weights["conv3"]))                # 70
+    h4 = epi("conv4", _vconv(h3, qt.weights["conv4"]))                # 68
+    w5 = qt.weights["conv5"]
+    hid = w5.shape[-1]
+    h5 = epi("conv5", _vconv(h4, w5[:, :, :hid, :])
+             + _vconv(h2, w5[:, :, hid:, :], pad=-2))                 # 66
+    w6 = qt.weights["conv6"]
+    logits = epi("conv6", _vconv(h5, w6[:, :, :hid, :])
+                 + _vconv(h1, w6[:, :, hid:, :], pad=-4),
+                 requant=False)                                       # 64
+    p = jax.nn.sigmoid(logits)
+    if sample and key is not None:
+        out = st_bernoulli(key, p)
+    else:
+        out = (p > 0.5).astype(jnp.float32)
+    return out.astype(z.dtype)
+
+
+def transition_int8_split(qt: QuantizedTransition, z: jax.Array,
+                          action_onehot: jax.Array,
+                          key: Optional[jax.Array] = None, *,
+                          sample: bool = False,
+                          epilogue_dtype=jnp.float32) -> jax.Array:
+    """Serving transition with concat-free U-Net skips, bit-identical to
+    ``transition_int8``.
+
+    Two rewrites of the same int32 arithmetic, keeping the per-conv 64x64
+    shapes (unlike the halo variant, which trades +13.5% MXU flops for pad
+    removal and measures *slower* on v5e — the path is compute-bound):
+
+      * conv(concat(a, b), W) == conv(a, W[:, :, :Ca]) + conv(b, W[:, :, Ca:])
+        — and the wrap-padded skip tensors (h1 for conv2, h2 for conv3) are
+        already materialized, so the split reuses them: the two 256-channel
+        concat writes + reads (~1 GB/step at batch 256) disappear.
+      * conv1's action half is a conv of a spatially-constant one-hot map —
+        a rank-1 int32 bias (one_hot @ sum_taps(W1[..., L:, :])), so the
+        (B, H, W, A) broadcast map is never built.
+    """
+    b, h, w, latent = z.shape
+    ep = epilogue_dtype
+
+    def wpad(x):
+        return jnp.pad(x, ((0, 0), (1, 1), (1, 1), (0, 0)), mode="wrap")
+
+    w1 = qt.weights["conv1"]
+    w1a_sum = jnp.sum(w1[:, :, latent:, :].astype(jnp.int32), axis=(0, 1))
+    a_bias = lax.dot(action_onehot.astype(jnp.int32), w1a_sum,
+                     preferred_element_type=jnp.int32)
+
+    def epi(name, acc, **kw):
+        return _qepilogue(qt, name, acc, epilogue_dtype=ep, **kw)
+
+    zp = wpad(z.astype(jnp.int8))
+    h1 = epi("conv1", _vconv(zp, w1[:, :, :latent, :]),
+             extra_bias_i32=a_bias)
+    h1p = wpad(h1)
+    h2 = epi("conv2", _vconv(h1p, qt.weights["conv2"]))
+    h2p = wpad(h2)
+    h3 = epi("conv3", _vconv(h2p, qt.weights["conv3"]))
+    h4 = epi("conv4", _vconv(wpad(h3), qt.weights["conv4"]))
+    w5 = qt.weights["conv5"]
+    hid = w5.shape[-1]
+    h5 = epi("conv5", _vconv(wpad(h4), w5[:, :, :hid, :])
+             + _vconv(h2p, w5[:, :, hid:, :]))
+    w6 = qt.weights["conv6"]
+    logits = epi("conv6", _vconv(wpad(h5), w6[:, :, :hid, :])
+                 + _vconv(h1p, w6[:, :, hid:, :]),
+                 requant=False)
+    p = jax.nn.sigmoid(logits)
+    if sample and key is not None:
+        out = st_bernoulli(key, p)
+    else:
+        out = (p > 0.5).astype(jnp.float32)
+    return out.astype(z.dtype)
 
 
 def transition_int8(qt: QuantizedTransition, z: jax.Array,

@@ -164,3 +164,27 @@ def test_int8_pallas_kernel_matches_xla_int8(monkeypatch, key):
     out = ik.int8_fused_transition(wm.transition, z, a)
     match = float((ref == out).mean())
     assert match > 0.99, match
+
+
+def test_halo_int8_transition_bit_exact(key):
+    """The halo-chain rewrite (one wrap-pad + VALID chain + split-kernel
+    concats + rank-1 action bias) must produce bit-identical int32
+    accumulations to the per-conv-padded int8 path when both use the f32
+    epilogue."""
+    from scmgan_tpu.models import init_world_model
+    from scmgan_tpu.models.quantized import (
+        quantize_transition,
+        transition_int8,
+        transition_int8_halo,
+    )
+
+    wm = init_world_model(key, 8, 5, 1, 3, 3, img_size=16)
+    qt = quantize_transition(wm.transition)
+    z = (jax.random.uniform(key, (3, 16, 16, 8)) > 0.5).astype(jnp.float32)
+    a = jax.nn.one_hot(jnp.array([1, 4, 0]), 5)
+    ref = transition_int8(qt, z, a)
+    out = transition_int8_halo(qt, z, a, epilogue_dtype=jnp.float32)
+    assert float((ref == out).mean()) == 1.0
+    # the bf16 epilogue is a lossy speed knob; agreement stays high
+    out_bf16 = transition_int8_halo(qt, z, a, epilogue_dtype=jnp.bfloat16)
+    assert float((ref == out_bf16).mean()) > 0.9
