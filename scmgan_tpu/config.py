@@ -54,6 +54,8 @@ class Config:
     # time (deterministic sigmoid latents) — the reference's deterministic
     # model variant (scripts/generate_mse_plot_deterministic.py:41-67).
     deterministic_transition: bool = False
+    remat_transition: bool = False  # remat the BPTT-scan transition
+                                    # (scripts/bench_remat.py decides)
     enable_action_control_loss: bool = False
     enable_disentanglement_loss: bool = False
     counterfactual_horizon: int = 1

@@ -82,16 +82,42 @@ def shard_pytree(tree, shardings):
 
 def shard_train_step(step_fn, mesh: Mesh, data_axis: str = "data",
                      model_axis: str = "model"):
-    """Wrap a train step so state/batch are committed to the mesh; jit then
-    follows the data placement and GSPMD inserts collectives.
+    """Wrap a train step with *declared* in/out shardings on the jit.
+
+    The shardings are computed once from the first call's pytrees and baked
+    into ``jax.jit(in_shardings=..., out_shardings=...)``: the donated state
+    stays resident on the mesh across iterations (no per-step host
+    round-trip or re-placement), and each fresh host batch is transferred
+    directly into its 'data'-sharded layout.  Under multi-host execution
+    each process feeds only its local batch slice (see
+    parallel.distributed.process_batch_slice); the slices are assembled
+    into the global sharded array without any host gathering the whole
+    batch.
 
     Returned fn(state, batch, key, theta, cf_active) -> (state, metrics).
     """
-    jitted = jax.jit(step_fn, donate_argnums=(0,))
+    box: dict = {}
 
     def wrapper(state, batch, key, theta, cf_active):
-        state = shard_pytree(state, param_shardings(state, mesh, model_axis))
-        batch = shard_pytree(batch, batch_shardings(batch, mesh, data_axis))
-        return jitted(state, batch, key, theta, cf_active)
+        if not box:
+            state_sh = param_shardings(state, mesh, model_axis)
+            batch_sh = batch_shardings(batch, mesh, data_axis)
+            repl = NamedSharding(mesh, P())
+            box["batch_sh"] = batch_sh
+            box["jit"] = jax.jit(
+                step_fn,
+                in_shardings=(state_sh, batch_sh, repl, repl, repl),
+                # out_shardings is a prefix pytree: state keeps its layout,
+                # the metrics dict is replicated.
+                out_shardings=(state_sh, repl),
+                donate_argnums=(0,),
+            )
+        if jax.process_count() > 1:
+            # each process holds only its slice of the global batch
+            batch = jax.tree.map(
+                lambda sh, x: jax.make_array_from_process_local_data(sh, x),
+                box["batch_sh"], batch,
+            )
+        return box["jit"](state, batch, key, theta, cf_active)
 
     return wrapper

@@ -56,6 +56,9 @@ class LossConfig(NamedTuple):
     activation_l1_coef: float = 0.0   # reference default: disabled
     transition_l1_coef: float = 0.0   # reference default: disabled
     deterministic_transition: bool = False  # ablation: no Bernoulli sampling
+    remat_transition: bool = False    # recompute the BPTT-scan transition
+                                      # activations in backward (memory for
+                                      # flops; see scripts/bench_remat.py)
 
 
 def bce_from_logits(logits: jax.Array, targets: jax.Array) -> jax.Array:
@@ -165,11 +168,16 @@ def world_model_loss(
         lo_loss: jax.Array
         rew_loss_sum: jax.Array
         rec_loss_sum: jax.Array
-        lo_buf: jax.Array       # (S, B, H, W, L) overshooting latents
+        lo_buf: jax.Array       # (B, S, H, W, L) overshooting latents
         lo_valid: jax.Array     # (S,) slot validity
 
     hh, ww = z0.shape[1], z0.shape[2]
-    lo_buf0 = jnp.zeros((max(lo_window, 1), b, hh, ww, latent_dim), z0.dtype)
+    # Batch-major slot buffer: the (B, S) -> (B*S) flatten below keeps the
+    # sharded batch axis as the *major* factor of the merged dim, which
+    # GSPMD propagates natively (slot-major layout forced the partitioner
+    # to re-shard the whole O(T^2) overshooting graph — multi-minute
+    # compiles on an 8-device mesh).
+    lo_buf0 = jnp.zeros((b, max(lo_window, 1), hh, ww, latent_dim), z0.dtype)
     carry0 = Carry(
         z=z0,
         active=jnp.ones((b,), f32),
@@ -211,9 +219,12 @@ def world_model_loss(
 
         # --- transition (main.py:205-215) ----------------------------------
         k_trans, k_enc, k_lo = jax.random.split(k_t, 3)
-        new_z = transition(params.transition, z_in, act_tm[t], k_trans,
-                           train=True,
-                           deterministic=cfg.deterministic_transition)
+        trans_fn = lambda p, zz, aa, kk: transition(
+            p, zz, aa, kk, train=True,
+            deterministic=cfg.deterministic_transition)
+        if cfg.remat_transition:
+            trans_fn = jax.checkpoint(trans_fn)
+        new_z = trans_fn(params.transition, z_in, act_tm[t], k_trans)
 
         if cfg.transition_l1_coef:
             tl1 = jnp.abs((new_z - z_in).astype(f32)).mean(axis=(1, 2, 3))
@@ -227,23 +238,23 @@ def world_model_loss(
             # action[t-1]; penalize old predictions against the fresh
             # (detached) encoding.  TD(lambda) uses the same machinery with a
             # td_steps window and lambda^age weights.
-            s = lo_buf.shape[0]
+            s = lo_buf.shape[1]
             slot_ids = jnp.arange(s)
             # advance all currently-valid slots with action[t-1].
             # Rematerialized: the backward pass otherwise keeps the conv
             # activations of this S*B-batch transition for every scan step
             # — at horizon 10 that alone exceeds HBM (observed 17.9G of
             # 15.75G).  Recomputing them costs ~1/3 extra LO FLOPs.
-            flat = lo_buf.reshape(s * b, hh, ww, latent_dim)
-            a_rep = jnp.tile(act_tm[t - 1], (s, 1))
+            flat = lo_buf.reshape(b * s, hh, ww, latent_dim)
+            a_rep = jnp.repeat(act_tm[t - 1], s, axis=0)
             lo_advance = jax.checkpoint(
                 lambda p, x, a, k: transition(
                     p, x, a, k, train=True,
                     deterministic=cfg.deterministic_transition))
             adv = lo_advance(params.transition, flat, a_rep, k_lo)
-            adv = adv.reshape(s, b, hh, ww, latent_dim)
+            adv = adv.reshape(b, s, hh, ww, latent_dim)
             lo_buf = jnp.where(
-                lo_valid[:, None, None, None, None] > 0, adv, lo_buf
+                lo_valid[None, :, None, None, None] > 0, adv, lo_buf
             )
             # fresh encoding of window t-1:t+2 -> slot (t mod S)
             # (also rematerialized — one encoder activation set per scan
@@ -256,7 +267,7 @@ def world_model_loss(
             slot = t % s if use_td else t
             slot = jnp.asarray(slot) % s
             lo_buf = jax.lax.dynamic_update_index_in_dim(
-                lo_buf, fresh[None], slot, axis=0
+                lo_buf, fresh[:, None], slot, axis=1
             )
             age = (t - slot_ids) % s if use_td else (t - slot_ids)
             if use_lo:
@@ -271,7 +282,8 @@ def world_model_loss(
                 )
             target = jax.lax.stop_gradient(fresh)
             per_slot = jax.vmap(
-                lambda pred: jnp.mean(latent_state_loss(target, pred) * active)
+                lambda pred: jnp.mean(latent_state_loss(target, pred) * active),
+                in_axes=1,
             )(lo_buf)
             lo_loss = lo_loss + jnp.sum(w_pair * per_slot)
             lo_valid = lo_valid.at[slot].set(1.0)

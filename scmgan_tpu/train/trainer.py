@@ -114,6 +114,7 @@ def loss_config(cfg: Config, horizon: int) -> LossConfig:
         activation_l1_coef=cfg.activation_l1_coef,
         transition_l1_coef=cfg.transition_l1_coef,
         deterministic_transition=cfg.deterministic_transition,
+        remat_transition=cfg.remat_transition,
     )
 
 
@@ -179,6 +180,14 @@ def train(
         key, init_key = jax.random.split(key)
         state = init_train_state(cfg, spec, init_key)
 
+    # Multi-host input pipeline: each process's envs produce only its slice
+    # of the global batch; shard_train_step assembles the slices into the
+    # global 'data'-sharded array (parallel/mesh.py) without any host ever
+    # gathering the whole batch.  Single-process: local == global.
+    from scmgan_tpu.parallel.distributed import process_batch_slice
+
+    local_batch, batch_offset = process_batch_slice(cfg.batch_size)
+
     nan_check_every = 200  # cheap training-health watchdog (syncs anyway)
     for train_iter in range(cfg.start_iter, cfg.train_iters + 1):
         if train_iter % cfg.iters_per_video == 0:
@@ -192,7 +201,9 @@ def train(
         cf_active = 1.0 if train_iter % cfg.cf_regularization_rate == 0 else 0.0
 
         key, k_data, k_step = jax.random.split(key, 3)
-        batch = datasource.collect(cfg.batch_size, horizon, key=k_data)
+        # decorrelate per-process env streams by the process's batch offset
+        k_local = jax.random.fold_in(k_data, batch_offset)
+        batch = datasource.collect(local_batch, horizon, key=k_local)
         step = make_train_step(cfg, horizon, mesh_and_rules)
         state, metrics = step(
             state, batch, k_step, jnp.float32(theta), jnp.float32(cf_active)

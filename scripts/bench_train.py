@@ -65,7 +65,26 @@ def main():
     dt = time.perf_counter() - t0
 
     its = args.iters / dt
-    print(json.dumps({
+
+    # MFU: XLA's own flop count for the compiled step + collection programs
+    # against the chip's bf16 peak (v5e: 197 TFLOP/s).  cost_analysis counts
+    # every HLO flop (fwd + bwd + optimizer + SN refresh), so this is the
+    # honest "model flops" utilization of the whole training iteration.
+    mfu = None
+    try:
+        if hasattr(step, "lower"):
+            compiled = step.lower(state, batch, key, jnp.float32(0.5),
+                                  jnp.float32(0.0)).compile()
+            ca = compiled.cost_analysis()
+            ca = ca[0] if isinstance(ca, (list, tuple)) else ca
+            step_flops = float(ca.get("flops", 0.0))
+            peak = 197e12 if jax.devices()[0].platform == "tpu" else None
+            if peak and step_flops:
+                mfu = step_flops * its / peak
+    except Exception:
+        pass
+
+    out = {
         "metric": "train_iters_per_sec",
         "value": round(its, 2),
         "unit": "iters/sec",
@@ -74,7 +93,10 @@ def main():
         "batch_size": cfg.batch_size,
         "horizon": args.horizon,
         "final_loss": round(loss, 6),
-    }))
+    }
+    if mfu is not None:
+        out["train_step_mfu"] = round(mfu, 4)
+    print(json.dumps(out))
 
 
 if __name__ == "__main__":

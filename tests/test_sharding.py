@@ -108,3 +108,40 @@ def test_process_batch_slice_single():
 
     local, offset = distributed.process_batch_slice(32)
     assert local == 32 and offset == 0
+
+
+def test_lo_dp_matches_single_device_numerics():
+    """Latent overshooting (the O(T^2) objective) on a dp mesh matches
+    single-device numerics — the sharded compile of every trainable
+    objective is demonstrated, not just the plain BPTT step."""
+    _require_multi_device()
+    # horizon 6: the first step with a nonzero LO pair set is t=4
+    # (the reference sums pairs t_a in [2, t-2], main.py:230)
+    cfg = Config(env="gridworld", latent_dim=8, batch_size=8, train_iters=10,
+                 latent_overshooting=True, horizon_min=6, horizon_max=6,
+                 compute_dtype="float32")
+    ds = allocate_datasource(cfg.env)
+    key = jax.random.PRNGKey(1)
+    batch = ds.collect(cfg.batch_size, 7)
+
+    state_a = init_train_state(cfg, ds.spec, key)
+    state_b = jax.tree.map(lambda x: x.copy(), state_a)
+
+    step_single = make_train_step(cfg, horizon=6)
+    mesh = make_mesh((8, 1))
+    step_dp = make_train_step(cfg, horizon=6, mesh_and_rules=mesh)
+
+    out_a, m_a = step_single(state_a, batch, key, jnp.float32(0.5),
+                             jnp.float32(0.0))
+    out_b, m_b = step_dp(state_b, batch, key, jnp.float32(0.5),
+                         jnp.float32(0.0))
+    assert float(m_a["lo_loss"]) > 0.0
+    np.testing.assert_allclose(float(m_a["loss"]), float(m_b["loss"]),
+                               rtol=2e-4)
+    np.testing.assert_allclose(float(m_a["lo_loss"]), float(m_b["lo_loss"]),
+                               rtol=2e-4)
+    np.testing.assert_allclose(
+        np.asarray(out_a.params.transition["conv6"]["w"]),
+        np.asarray(out_b.params.transition["conv6"]["w"]),
+        rtol=2e-3, atol=2e-5,
+    )
