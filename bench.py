@@ -45,7 +45,7 @@ def _measure_path(path: str) -> float:
         pass
 
     from scmgan_tpu.envs import get_env
-    from scmgan_tpu.models import decode, init_world_model, transition
+    from scmgan_tpu.models import decode_fused, init_world_model, transition
 
     spec = get_env("pong")  # 64x64x3 frames, 4 actions — flagship scale
     latent, batch, steps = 16, 256, 64
@@ -68,24 +68,30 @@ def _measure_path(path: str) -> float:
         def free_run(z0, actions):
             def step(z, a):
                 z = transition(params_c.transition, z, a, train=False)
-                frame = jax.nn.sigmoid(decode(params_c.decoder, z))
+                frame = jax.nn.sigmoid(decode_fused(params_c.decoder, z))
                 return z, jnp.sum(frame, dtype=jnp.float32)
 
             _, s = jax.lax.scan(step, z0, actions)
             return jnp.sum(s)
-    elif path == "int8":
+    elif path in ("int8", "ring"):
         from scmgan_tpu.models.quantized import (
             quantize_transition,
             transition_int8,
+            transition_int8_ring,
         )
 
         qt = quantize_transition(params.transition)
+        tfn = transition_int8 if path == "int8" else transition_int8_ring
+        if path == "ring":
+            z0 = z0.astype(jnp.int8)  # carry latents as int8 end to end
 
         @jax.jit
         def free_run(z0, actions):
             def step(z, a):
-                z = transition_int8(qt, z, a)
-                frame = jax.nn.sigmoid(decode(params_c.decoder, z))
+                z = tfn(qt, z, a)
+                # decode in bf16 (binary int8 -> bf16 cast is exact; the
+                # conv helpers cast weights to the input dtype)
+                frame = jax.nn.sigmoid(decode_fused(params_c.decoder, z.astype(cdt)))
                 return z, jnp.sum(frame, dtype=jnp.float32)
 
             _, s = jax.lax.scan(step, z0, actions)
@@ -104,7 +110,7 @@ def _measure_path(path: str) -> float:
 
 def main():
     results = {}
-    for path in ("bf16", "int8"):
+    for path in ("bf16", "int8", "ring"):
         try:
             out = subprocess.run(
                 [sys.executable, os.path.abspath(__file__), "--path", path],

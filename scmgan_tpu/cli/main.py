@@ -128,6 +128,13 @@ def main(argv=None):
     args = build_parser().parse_args(argv)
     if args.platform:
         jax.config.update("jax_platforms", args.platform)
+    try:
+        jax.config.update(
+            "jax_compilation_cache_dir",
+            os.environ.get("SCMGAN_COMPILE_CACHE", "/tmp/jax_tpu_cache"))
+        jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+    except Exception:
+        pass
     cfg = config_from_args(args)
     os.makedirs(cfg.out_dir, exist_ok=True)
 

@@ -3,6 +3,7 @@ from scmgan_tpu.models.world_model import (  # noqa: F401
     init_world_model,
     encode,
     decode,
+    decode_fused,
     transition,
     predict_reward,
     discriminate,

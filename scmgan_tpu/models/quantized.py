@@ -325,6 +325,163 @@ def transition_int8_split(qt: QuantizedTransition, z: jax.Array,
     return out.astype(z.dtype)
 
 
+class QuantizedDecoder(NamedTuple):
+    """Pre-quantized decoder (reference models.py:260-287: two stride-1
+    transposed convs == SAME convs with flipped kernels, then per-factor
+    additive sum).  Inputs are binary serving latents (exactly int8)."""
+
+    w1: jax.Array      # int8 HWIO (flipped) kernel, latent -> 4*latent
+    w2: jax.Array      # int8 HWIO (flipped) kernel, 4*latent -> latent*color
+    s1: jax.Array      # f32 (4L,) conv1 dequant scale
+    s2: jax.Array      # f32 (L*color,) conv2 dequant scale (act scale folded)
+    b1: jax.Array      # f32 (4L,)
+    b2: jax.Array      # f32 (L*color,)
+
+
+def quantize_decoder(params: dict) -> QuantizedDecoder:
+    w1f = params["conv1"]["w"][::-1, ::-1, :, :]
+    w2f = params["conv2"]["w"][::-1, ::-1, :, :]
+    q1, s1 = _quantize(w1f)
+    q2, s2 = _quantize(w2f)
+    return QuantizedDecoder(
+        q1, q2, s1, s2 * ACT_SCALE,
+        params["conv1"]["b"].astype(jnp.float32),
+        params["conv2"]["b"].astype(jnp.float32))
+
+
+def decode_int8(qd: QuantizedDecoder, z_i8: jax.Array) -> jax.Array:
+    """int8 decoder: z (B,H,W,L) binary int8 -> pixel logits (B,H,W,color).
+
+    Same layer semantics as models.decode (per-factor additive decoding);
+    weights per-output-channel int8, hidden leaky-ReLU activations
+    requantized with the static [0, 8] range.  Lossy (serving only): the
+    logits head stays f32.
+    """
+    acc1 = lax.conv_general_dilated(
+        z_i8, qd.w1, (1, 1), "SAME", dimension_numbers=DN,
+        preferred_element_type=jnp.int32)
+    h = acc1.astype(jnp.float32) * qd.s1 + qd.b1
+    h = jnp.where(h >= 0, h, 0.01 * h)
+    h_q = jnp.clip(jnp.round(h / ACT_SCALE), -127, 127).astype(jnp.int8)
+    acc2 = lax.conv_general_dilated(
+        h_q, qd.w2, (1, 1), "SAME", dimension_numbers=DN,
+        preferred_element_type=jnp.int32)
+    x = acc2.astype(jnp.float32) * qd.s2 + qd.b2
+    b, hh, ww, _ = x.shape
+    latent = z_i8.shape[-1]
+    color = x.shape[-1] // latent
+    return jnp.sum(x.reshape(b, hh, ww, latent, color), axis=3)
+
+
+def _ring_qconv(qt: QuantizedTransition, name: str, x_i8: jax.Array,
+                w_i8: Optional[jax.Array] = None, *, requant: bool = True,
+                epilogue_dtype=jnp.float32,
+                extra_bias_i32: Optional[jax.Array] = None):
+    """Circular int8 conv with NO materialized wrap-pad.
+
+    The torus conv (reference models.py:51-56 re-pads with mode='wrap'
+    before every conv; under XLA that materializes a full (B, H+2, W+2, C)
+    copy per conv — ~275 MB of HBM round-trip per conv at batch 256) is
+    decomposed as:
+
+      * a SAME conv with implicit zero padding — the padding lives in the
+        conv config, so the interior (all but the outermost output ring)
+        is exact and no padded copy ever exists in HBM;
+      * exact border fixups: the 4 one-pixel-wide output strips are
+        recomputed from 3-wide input slices (with the wrap applied to the
+        tiny strip only), run through the same int32 conv + epilogue, and
+        dynamic-update-sliced over the ring.  Both row strips (and both
+        col strips) are stacked on the batch axis so each pair is one
+        conv.  Strip recompute is ~6% extra MXU work; the corner pixels
+        are computed identically by both their row and col strip.
+
+    Bit-identical to the wrap-pad path: same int32 accumulations, same
+    epilogue arithmetic, per output pixel.
+    """
+    if w_i8 is None:
+        w_i8 = qt.weights[name]
+    b, h, w, _ = x_i8.shape
+
+    acc = lax.conv_general_dilated(
+        x_i8, w_i8, (1, 1), "SAME", dimension_numbers=DN,
+        preferred_element_type=jnp.int32)
+    y = _qepilogue(qt, name, acc, requant=requant,
+                   epilogue_dtype=epilogue_dtype,
+                   extra_bias_i32=extra_bias_i32)
+
+    def strip_epi(acc_s):
+        return _qepilogue(qt, name, acc_s, requant=requant,
+                          epilogue_dtype=epilogue_dtype,
+                          extra_bias_i32=(None if extra_bias_i32 is None
+                                          else jnp.concatenate(
+                                              [extra_bias_i32] * 2)))
+
+    # row strips: outputs rows {0, h-1}; inputs rows {h-1,0,1} / {h-2,h-1,0}
+    rows_in = jnp.concatenate([
+        jnp.concatenate([x_i8[:, h - 1:], x_i8[:, :2]], axis=1),
+        jnp.concatenate([x_i8[:, h - 2:], x_i8[:, :1]], axis=1),
+    ], axis=0)                                            # (2B, 3, W, C)
+    rows_in = jnp.concatenate(
+        [rows_in[:, :, w - 1:], rows_in, rows_in[:, :, :1]], axis=2)
+    rows_out = strip_epi(lax.conv_general_dilated(
+        rows_in, w_i8, (1, 1), "VALID", dimension_numbers=DN,
+        preferred_element_type=jnp.int32))                # (2B, 1, W, Co)
+
+    # col strips: outputs cols {0, w-1}
+    cols_in = jnp.concatenate([
+        jnp.concatenate([x_i8[:, :, w - 1:], x_i8[:, :, :2]], axis=2),
+        jnp.concatenate([x_i8[:, :, w - 2:], x_i8[:, :, :1]], axis=2),
+    ], axis=0)                                            # (2B, H, 3, C)
+    cols_in = jnp.concatenate(
+        [cols_in[:, h - 1:], cols_in, cols_in[:, :1]], axis=1)
+    cols_out = strip_epi(lax.conv_general_dilated(
+        cols_in, w_i8, (1, 1), "VALID", dimension_numbers=DN,
+        preferred_element_type=jnp.int32))                # (2B, H, 1, Co)
+
+    y = lax.dynamic_update_slice(y, rows_out[:b], (0, 0, 0, 0))
+    y = lax.dynamic_update_slice(y, rows_out[b:], (0, h - 1, 0, 0))
+    y = lax.dynamic_update_slice(y, cols_out[:b], (0, 0, 0, 0))
+    y = lax.dynamic_update_slice(y, cols_out[b:], (0, 0, w - 1, 0))
+    return y
+
+
+def transition_int8_ring(qt: QuantizedTransition, z: jax.Array,
+                         action_onehot: jax.Array,
+                         key: Optional[jax.Array] = None, *,
+                         sample: bool = False,
+                         epilogue_dtype=jnp.float32) -> jax.Array:
+    """Serving transition with pad-free circular convs (``_ring_qconv``)
+    and conv1's action half folded to a rank-1 per-sample int32 bias.
+    Bit-identical int32 accumulations to ``transition_int8``; the six
+    materialized wrap-pads (~1.6 GB/step of HBM round-trips at batch 256)
+    are replaced by ~6% strip recompute on the MXU.
+    """
+    b, h, w, latent = z.shape
+    ep = epilogue_dtype
+
+    w1 = qt.weights["conv1"]
+    w1a_sum = jnp.sum(w1[:, :, latent:, :].astype(jnp.int32), axis=(0, 1))
+    a_bias = lax.dot(action_onehot.astype(jnp.int32), w1a_sum,
+                     preferred_element_type=jnp.int32)
+
+    def rc(name, t, w_i8=None, **kw):
+        return _ring_qconv(qt, name, t, w_i8, epilogue_dtype=ep, **kw)
+
+    x = z.astype(jnp.int8)
+    h1 = rc("conv1", x, w1[:, :, :latent, :], extra_bias_i32=a_bias)
+    h2 = rc("conv2", h1)
+    h3 = rc("conv3", h2)
+    h4 = rc("conv4", h3)
+    h5 = rc("conv5", jnp.concatenate([h4, h2], axis=-1))
+    logits = rc("conv6", jnp.concatenate([h5, h1], axis=-1), requant=False)
+    if sample and key is not None:
+        out = st_bernoulli(key, jax.nn.sigmoid(logits))
+    else:
+        # threshold(sigmoid(x), 0.5) == (x > 0): skip the sigmoid entirely
+        out = (logits > 0).astype(jnp.float32)
+    return out.astype(z.dtype)
+
+
 def transition_int8(qt: QuantizedTransition, z: jax.Array,
                     action_onehot: jax.Array,
                     key: Optional[jax.Array] = None, *,

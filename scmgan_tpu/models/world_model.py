@@ -106,6 +106,26 @@ def encode(params: dict, frames: jax.Array) -> jax.Array:
     return jax.nn.sigmoid(x)
 
 
+def decode_fused(params: dict, z: jax.Array) -> jax.Array:
+    """`decode` with the per-factor sum folded into conv2's weights.
+
+    The additive decoding (models.py:279-287) ends in a sum over the latent
+    axis of conv2's (latent*color)-channel output; since the conv is linear
+    in its weights, summing the kernel's output channels over latent groups
+    first is exact and cuts conv2's FLOPs by `latent`x — the serving-path
+    decoder (used by bench.py free-runs and MPC video rollouts, where the
+    per-factor layers aren't needed).
+    """
+    latent_dim = z.shape[-1]
+    color = params["conv2"]["w"].shape[-1] // latent_dim
+    w2 = params["conv2"]["w"]
+    kh, kw, cin, _ = w2.shape
+    w2s = jnp.sum(w2.reshape(kh, kw, cin, latent_dim, color), axis=3)
+    b2s = jnp.sum(params["conv2"]["b"].reshape(latent_dim, color), axis=0)
+    x = leaky_relu(conv_transpose2d(params["conv1"], z))
+    return conv_transpose2d({"w": w2s, "b": b2s}, x)
+
+
 # --------------------------------------------------------------------------
 # Transition
 # --------------------------------------------------------------------------

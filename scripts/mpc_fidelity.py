@@ -93,12 +93,24 @@ def main():
     ex = np.stack(scores["exact"])
     out = {"metric": "mpc_argmax_agreement", "env": args.env,
            "states": args.states, "exact_ms_per_plan": round(latency["exact"] * 1e3, 2)}
+    # Regret is the decision-quality metric that argmax agreement is not:
+    # pong's per-action plan scores are near-ties, so a quantized path can
+    # disagree on the argmax while giving up almost no exact-path value.
+    # regret[i] = exactscore(exact argmax) - exactscore(quantized argmax),
+    # normalized by the exact score *spread* over actions for that state.
+    ex_best = ex.max(axis=1)
+    ex_spread = np.maximum(ex.max(axis=1) - ex.min(axis=1), 1e-9)
     for name in ("int8_static", "int8_calibrated", "hybrid_tail"):
         s = np.stack(scores[name])
         agree = float((s.argmax(1) == ex.argmax(1)).mean())
         rho = float(np.mean([spearman(s[i], ex[i]) for i in range(len(s))]))
+        chosen = ex[np.arange(len(s)), s.argmax(1)]
+        regret = (ex_best - chosen) / ex_spread
         out[name] = {"argmax_agreement": round(agree, 3),
                      "rank_corr": round(rho, 3),
+                     "mean_relative_regret": round(float(regret.mean()), 4),
+                     "p95_relative_regret": round(
+                         float(np.percentile(regret, 95)), 4),
                      "ms_per_plan": round(latency[name] * 1e3, 2)}
     print(json.dumps(out))
 

@@ -166,6 +166,57 @@ def test_int8_pallas_kernel_matches_xla_int8(monkeypatch, key):
     assert match > 0.99, match
 
 
+def test_ring_int8_transition_bit_exact(key):
+    """The pad-free ring rewrite (SAME conv + exact border-strip fixups +
+    rank-1 action bias) must be bit-identical to the per-conv wrap-padded
+    int8 path with the f32 epilogue."""
+    from scmgan_tpu.models import init_world_model
+    from scmgan_tpu.models.quantized import (
+        quantize_transition,
+        transition_int8,
+        transition_int8_ring,
+    )
+
+    wm = init_world_model(key, 8, 5, 1, 3, 3, img_size=16)
+    qt = quantize_transition(wm.transition)
+    z = (jax.random.uniform(key, (3, 16, 16, 8)) > 0.5).astype(jnp.float32)
+    a = jax.nn.one_hot(jnp.array([1, 4, 0]), 5)
+    ref = transition_int8(qt, z, a)
+    out = transition_int8_ring(qt, z, a, epilogue_dtype=jnp.float32)
+    assert float((ref == out).mean()) == 1.0
+    out_bf16 = transition_int8_ring(qt, z, a, epilogue_dtype=jnp.bfloat16)
+    assert float((ref == out_bf16).mean()) > 0.9
+
+
+def test_decode_fused_matches_decode(key):
+    """Folding the per-factor sum into conv2's weights is exact (linear)."""
+    from scmgan_tpu.models import decode, decode_fused, init_world_model
+
+    wm = init_world_model(key, 8, 4, 1, 3, 3, img_size=16)
+    z = (jax.random.uniform(key, (2, 16, 16, 8)) > 0.5).astype(jnp.float32)
+    a = decode(wm.decoder, z)
+    b = decode_fused(wm.decoder, z)
+    assert float(jnp.max(jnp.abs(a - b))) < 1e-4
+
+
+def test_int8_decoder_close_to_exact(key):
+    """The int8 decoder is lossy by design; sigmoided frames must stay
+    close to the exact decoder's on binary latents (serving tolerance)."""
+    import numpy as np
+
+    from scmgan_tpu.models import decode, init_world_model
+    from scmgan_tpu.models.quantized import decode_int8, quantize_decoder
+
+    wm = init_world_model(key, 8, 4, 1, 3, 3, img_size=16)
+    z = (jax.random.uniform(key, (2, 16, 16, 8)) > 0.5).astype(jnp.float32)
+    exact = jax.nn.sigmoid(decode(wm.decoder, z))
+    qd = quantize_decoder(wm.decoder)
+    q = jax.nn.sigmoid(decode_int8(qd, z.astype(jnp.int8)))
+    mae = float(jnp.mean(jnp.abs(exact - q)))
+    assert mae < 0.01, mae
+    assert float(jnp.max(jnp.abs(exact - q))) < 0.1
+
+
 def test_halo_int8_transition_bit_exact(key):
     """The halo-chain rewrite (one wrap-pad + VALID chain + split-kernel
     concats + rank-1 action bias) must produce bit-identical int32
