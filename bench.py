@@ -7,8 +7,10 @@ measure_prediction_mse free-run (reference main.py:784-855) and the MPC
 beam.  Candidate paths (each isolated in a watchdogged subprocess so a
 pathological compile can never hang the benchmark):
 
-  * exact bf16 path (XLA transition + decoder)
-  * int8 serving path (models/quantized.py)
+  * exact bf16 path (XLA transition + fused decoder)
+  * int8 serving path (models/quantized.py transition_int8_v2 — wrap-pad
+    convs + rank-1 action bias + sign-threshold head, int8 scan carry,
+    decode_fused): bit-identical latents to the reference int8 path
 
 Target (BASELINE.md): >= 50,000 predicted 64x64 frames/sec/chip on v5e.
 
@@ -73,17 +75,15 @@ def _measure_path(path: str) -> float:
 
             _, s = jax.lax.scan(step, z0, actions)
             return jnp.sum(s)
-    elif path in ("int8", "ring"):
+    elif path == "int8":
         from scmgan_tpu.models.quantized import (
             quantize_transition,
-            transition_int8,
-            transition_int8_ring,
+            transition_int8_v2,
         )
 
         qt = quantize_transition(params.transition)
-        tfn = transition_int8 if path == "int8" else transition_int8_ring
-        if path == "ring":
-            z0 = z0.astype(jnp.int8)  # carry latents as int8 end to end
+        tfn = transition_int8_v2
+        z0 = z0.astype(jnp.int8)  # carry latents as int8 end to end
 
         @jax.jit
         def free_run(z0, actions):
@@ -110,7 +110,7 @@ def _measure_path(path: str) -> float:
 
 def main():
     results = {}
-    for path in ("bf16", "int8", "ring"):
+    for path in ("bf16", "int8"):
         try:
             out = subprocess.run(
                 [sys.executable, os.path.abspath(__file__), "--path", path],
@@ -127,12 +127,21 @@ def main():
                           "error": "no path completed"}))
         return
     fps = max(results.values())
+    # Roofline context (BENCH_NOTES round-2 ceiling study): the model costs
+    # 6.62 GFLOP/frame (transition 6.53 + fused decoder 0.09); this chip's
+    # best measured int8 throughput is 284 TOPS on clean 4096^3 GEMMs
+    # (72% of the 394 spec; scripts/bench_peak4096.py), so the per-chip
+    # speed-of-light for this workload is ~42k frames/s even at 100% GEMM
+    # peak with zero non-conv overhead.
+    flops_per_frame = 6.62e9
     print(json.dumps({
         "metric": "predicted_frames_per_sec",
         "value": round(fps, 1),
         "unit": "frames/sec",
         "vs_baseline": round(fps / BASELINE_FPS, 4),
         "paths": {k: round(v, 1) for k, v in results.items()},
+        "effective_tops": round(fps * flops_per_frame / 1e12, 1),
+        "chip_int8_gemm_peak_tops": 284.4,
     }))
 
 

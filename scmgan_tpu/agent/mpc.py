@@ -87,12 +87,13 @@ def rollout_reward_table(
     if use_int8 or int8_tail:
         from scmgan_tpu.models.quantized import (
             quantize_transition,
-            transition_int8,
+            transition_int8_v2,
         )
 
         if qt is None:
             qt = quantize_transition(params.transition)
-        int8_step = lambda zb, a: transition_int8(qt, zb, a)
+        # v2 is bit-identical to transition_int8 and measurably faster
+        int8_step = lambda zb, a: transition_int8_v2(qt, zb, a)
     exact_step = lambda zb, a: transition(params.transition, zb, a,
                                           train=False)
     head_fn = exact_step if (int8_tail and not use_int8) else (

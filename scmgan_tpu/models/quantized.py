@@ -482,6 +482,58 @@ def transition_int8_ring(qt: QuantizedTransition, z: jax.Array,
     return out.astype(z.dtype)
 
 
+def transition_int8_v2(qt: QuantizedTransition, z: jax.Array,
+                       action_onehot: jax.Array,
+                       key: Optional[jax.Array] = None, *,
+                       sample: bool = False,
+                       epilogue_dtype=jnp.float32) -> jax.Array:
+    """`transition_int8` with three zero-risk trims, bit-identical outputs:
+
+      * conv1's action half is a rank-1 per-sample int32 bias (a conv of a
+        spatially-constant one-hot map), so the (B,H,W,A) broadcast and the
+        20-channel concat are never built;
+      * the non-sampling head uses (logits > 0) == threshold(sigmoid, 0.5)
+        — one compare instead of a transcendental over (B,H,W,L);
+      * returns int8 when the carry is int8 (free-run scans keep latents
+        int8 end-to-end; binary values are exact in any dtype).
+
+    Keeps the per-conv wrap-pad formulation — measured fastest on v5e
+    (BENCH_NOTES: pads are fully overlapped; ring/halo/split all lost).
+    """
+    b, h, w, latent = z.shape
+    ep = epilogue_dtype
+
+    w1 = qt.weights["conv1"]
+    w1a_sum = jnp.sum(w1[:, :, latent:, :].astype(jnp.int32), axis=(0, 1))
+    a_bias = lax.dot(action_onehot.astype(jnp.int32), w1a_sum,
+                     preferred_element_type=jnp.int32)
+
+    def wpad(x):
+        return jnp.pad(x, ((0, 0), (1, 1), (1, 1), (0, 0)), mode="wrap")
+
+    def conv(name, x_pad, w_i8=None):
+        return lax.conv_general_dilated(
+            x_pad, qt.weights[name] if w_i8 is None else w_i8, (1, 1),
+            "VALID", dimension_numbers=DN, preferred_element_type=jnp.int32)
+
+    def epi(name, acc, **kw):
+        return _qepilogue(qt, name, acc, epilogue_dtype=ep, **kw)
+
+    h1 = epi("conv1", conv("conv1", wpad(z.astype(jnp.int8)),
+                           w1[:, :, :latent, :]), extra_bias_i32=a_bias)
+    h2 = epi("conv2", conv("conv2", wpad(h1)))
+    h3 = epi("conv3", conv("conv3", wpad(h2)))
+    h4 = epi("conv4", conv("conv4", wpad(h3)))
+    h5 = epi("conv5", conv("conv5", wpad(jnp.concatenate([h4, h2], -1))))
+    logits = epi("conv6", conv("conv6", wpad(jnp.concatenate([h5, h1], -1))),
+                 requant=False)
+    if sample and key is not None:
+        out = st_bernoulli(key, jax.nn.sigmoid(logits))
+    else:
+        out = (logits > 0)
+    return out.astype(z.dtype)
+
+
 def transition_int8(qt: QuantizedTransition, z: jax.Array,
                     action_onehot: jax.Array,
                     key: Optional[jax.Array] = None, *,

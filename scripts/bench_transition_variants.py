@@ -19,7 +19,7 @@ import time
 
 sys.path.insert(0, os.path.join(os.path.dirname(__file__), ".."))
 
-ALL = ["int8", "int8_nodecode", "ring", "ring_bf16", "ring_qdec", "halo", "split", "bf16"]
+ALL = ["int8", "int8_v2", "int8_nodecode", "ring", "ring_bf16", "ring_qdec", "halo", "split", "bf16"]
 
 
 def _measure(variant: str) -> None:
@@ -56,12 +56,15 @@ def _measure(variant: str) -> None:
         "bf16": lambda z, a: transition(params_c.transition, z, a,
                                         train=False),
         "int8": lambda z, a: q.transition_int8(qt, z, a),
+        "int8_v2": lambda z, a: q.transition_int8_v2(qt, z, a),
         "ring": lambda z, a: q.transition_int8_ring(qt, z, a),
         "ring_bf16": lambda z, a: q.transition_int8_ring(
             qt, z, a, epilogue_dtype=jnp.bfloat16),
         "halo": lambda z, a: q.transition_int8_halo(qt, z, a),
         "split": lambda z, a: q.transition_int8_split(qt, z, a),
     }
+    if variant == "int8_v2":
+        z0 = z0.astype(jnp.int8)  # v2 carries binary latents as int8
     if variant == "int8_nodecode":
         # transition only — isolates the conv chain from the decoder
         @jax.jit

@@ -188,6 +188,29 @@ def test_ring_int8_transition_bit_exact(key):
     assert float((ref == out_bf16).mean()) > 0.9
 
 
+def test_v2_int8_transition_bit_exact(key):
+    """The trimmed serving path (rank-1 action bias, sign threshold, int8
+    carry) must match the reference int8 path bit for bit."""
+    from scmgan_tpu.models import init_world_model
+    from scmgan_tpu.models.quantized import (
+        quantize_transition,
+        transition_int8,
+        transition_int8_v2,
+    )
+
+    wm = init_world_model(key, 8, 5, 1, 3, 3, img_size=16)
+    qt = quantize_transition(wm.transition)
+    z = (jax.random.uniform(key, (3, 16, 16, 8)) > 0.5).astype(jnp.float32)
+    a = jax.nn.one_hot(jnp.array([1, 4, 0]), 5)
+    ref = transition_int8(qt, z, a)
+    out = transition_int8_v2(qt, z, a)
+    assert float((ref == out).mean()) == 1.0
+    # int8 carry keeps binary values exactly
+    out8 = transition_int8_v2(qt, z.astype(jnp.int8), a)
+    assert out8.dtype == jnp.int8
+    assert float((ref == out8.astype(jnp.float32)).mean()) == 1.0
+
+
 def test_decode_fused_matches_decode(key):
     """Folding the per-factor sum into conv2's weights is exact (linear)."""
     from scmgan_tpu.models import decode, decode_fused, init_world_model
