@@ -51,8 +51,13 @@ def play(params: WorldModel, datasource, max_steps: int = 300,
     z = encode_window(state_list)
     z = transition(params.transition, z, onehot(no_op), train=False)
 
-    # int8 planning runs calibrated per-channel quantization with an exact
-    # enumerated head (rank-faithful hybrid; see agent/mpc.py docstring).
+    # int8 planning: calibrated per-channel quantization, whole beam.
+    # Measured on trained pong (scripts/mpc_fidelity.py, clean chip):
+    # 58.7 ms/plan vs exact 156.6 (2.7x) at 0.48 mean relative regret;
+    # the exact-head hybrid chose better (0.33) but measured *slower*
+    # than exact planning (170 ms) - quantize/dequantize switching in the
+    # enumerated head costs more than it saves, so the speed knob is the
+    # whole-beam calibrated path and the hybrid stays API-only.
     qt = None
     if use_int8:
         from scmgan_tpu.agent.mpc import calibrated_qt
@@ -71,7 +76,7 @@ def play(params: WorldModel, datasource, max_steps: int = 300,
     while not done:
         scores = rollout_reward_table(
             params, z, num_actions, lookahead, rollout_depth, "noop",
-            negative_positive_tradeoff, int8_tail=use_int8, qt=qt)
+            negative_positive_tradeoff, use_int8=use_int8, qt=qt)
         max_a = int(jnp.argmax(scores))
 
         obs, reward, done, info = env.step(max_a)

@@ -1,4 +1,5 @@
 from scmgan_tpu.parallel.mesh import (  # noqa: F401
+    spatial_activation_sharding,
     make_mesh,
     leaf_spec,
     param_shardings,

@@ -121,3 +121,22 @@ def shard_train_step(step_fn, mesh: Mesh, data_axis: str = "data",
         return box["jit"](state, batch, key, theta, cf_active)
 
     return wrapper
+
+
+def spatial_activation_sharding(mesh: Mesh, data_axis: str = "data",
+                                spatial_axis: str = "model"):
+    """NamedSharding for (B, H, W, C) activations with the image height
+    split over ``spatial_axis`` — spatial partitioning for conv layers.
+
+    The reference has no equivalent (single-GPU); on TPU this is the
+    canonical way to scale convs past one chip's HBM for large images:
+    annotate the activation sharding and GSPMD partitions every conv in
+    the model spatially, inserting halo exchanges (collective-permutes of
+    one-row strips over ICI) for the 3x3 windows and for the torus wrap
+    rows.  Validated exact vs the unsharded transition in
+    tests/test_sharding.py::test_spatial_sharded_transition.
+
+    Use: jit the model fn with in_shardings/out_shardings built from this
+    for the latent/frame tensors; params stay on their usual rules.
+    """
+    return NamedSharding(mesh, P(data_axis, spatial_axis, None, None))

@@ -92,3 +92,15 @@ def test_rollout_reward_int8_mode(setup, key):
         use_int8=True)
     assert scores.shape == (ds.binary_input_channels,)
     assert np.all(np.isfinite(np.asarray(scores)))
+
+
+def test_play_episode_int8_planner(setup, tmp_path):
+    """--mpc-int8 end to end: play() with the calibrated whole-beam int8
+    planner (the CLI's quantized path) writes the same artifacts."""
+    ds, wm = setup
+    reward, steps = play(
+        wm, ds, max_steps=3, rollout_depth=2, out_dir=str(tmp_path),
+        use_int8=True, verbose=False)
+    assert steps >= 3
+    assert any(f.startswith("evaluation_metrics_")
+               for f in os.listdir(tmp_path))

@@ -145,3 +145,28 @@ def test_lo_dp_matches_single_device_numerics():
         np.asarray(out_b.params.transition["conv6"]["w"]),
         rtol=2e-3, atol=2e-5,
     )
+
+
+def test_spatial_sharded_transition():
+    """Spatial partitioning: H split over the 'model' axis; GSPMD inserts
+    the halo exchanges for the 3x3 windows and torus wrap rows.  Output
+    must match the unsharded transition exactly and stay H-sharded."""
+    from jax.sharding import NamedSharding
+
+    from scmgan_tpu.models import init_world_model, transition
+    from scmgan_tpu.parallel import spatial_activation_sharding
+
+    mesh = make_mesh((2, 4))
+    key = jax.random.PRNGKey(0)
+    wm = init_world_model(key, 8, 4, 1, 3, 3, img_size=16)
+    z = (jax.random.uniform(key, (4, 16, 16, 8)) > 0.5).astype(jnp.float32)
+    a = jax.nn.one_hot(jnp.array([0, 1, 2, 3]), 4)
+    ref = transition(wm.transition, z, a, train=False)
+
+    zsh = spatial_activation_sharding(mesh)
+    ash = NamedSharding(mesh, P("data", None))
+    f = jax.jit(lambda z, a: transition(wm.transition, z, a, train=False),
+                in_shardings=(zsh, ash), out_shardings=zsh)
+    out = f(jax.device_put(z, zsh), jax.device_put(a, ash))
+    assert float((jnp.asarray(out) == ref).mean()) == 1.0
+    assert out.sharding.is_equivalent_to(zsh, 4)
