@@ -194,7 +194,12 @@ def main(argv=None):
                 def encoder_fn(images):
                     import jax.numpy as jnp
 
-                    return encode(state.params.encoder, jnp.asarray(images))
+                    x = jnp.asarray(images)
+                    if x.ndim == 4:
+                        # single-frame simulators (pong family): tile the
+                        # static render into the encoder's 3-frame window
+                        x = jnp.repeat(x[:, None], 3, axis=1)
+                    return encode(state.params.encoder, x)
 
                 higgins_metric_conv(
                     spec.simulator, spec.true_latent_dim, encoder_fn,
