@@ -44,6 +44,17 @@ class QuantizedTransition(NamedTuple):
     requant: dict     # name -> f32 (Cout,) or scalar: 1 / output act scale
 
 
+def _binarize_latent(z: jax.Array) -> jax.Array:
+    """Latents enter the int8 engine as {0,1}.  A float carry straight off
+    the encoder holds continuous sigmoid values; `astype(int8)` would
+    FLOOR them all to 0 (measured: free-run diverges to a constant frame,
+    23x MSE at t+10) - threshold at 0.5 instead.  Integer carries pass
+    through."""
+    if jnp.issubdtype(z.dtype, jnp.floating):
+        return (z > 0.5).astype(jnp.int8)
+    return z.astype(jnp.int8)
+
+
 def _quantize(w: jax.Array):
     co = w.shape[-1]
     m = w.reshape(-1, co).astype(jnp.float32)
@@ -54,6 +65,16 @@ def _quantize(w: jax.Array):
 
 def quantize_transition(params: dict, latent_dim: int = None,
                         num_actions: int = None) -> QuantizedTransition:
+    """Static-scale quantization (activations assumed in [0, 8]).
+
+    On trained models the static range wastes int8 resolution (real
+    activations are tighter and channel-dependent): measured ~13-14%
+    worse free-run MSE@10 on trained pong / minipacman
+    (scripts/bench_int8_mse.py).  For serving trained models prefer
+    ``calibrate_transition`` with a multi-step action sequence: same
+    kernels and speed, per-channel scales from a rollout that covers the
+    states the free-run actually visits.
+    """
     weights, scales, biases = {}, {}, {}
     specs = [
         ("conv1", sn_weight(params["conv1"]), 1.0),
@@ -74,7 +95,7 @@ def quantize_transition(params: dict, latent_dim: int = None,
 
 def calibrate_transition(params: dict, z_samples: jax.Array,
                          action_onehots: jax.Array,
-                         percentile: float = 99.95) -> QuantizedTransition:
+                         percentile: float = 100.0) -> QuantizedTransition:
     """Calibrated per-channel w8a8 quantization of the transition.
 
     The static-scale pipeline (``quantize_transition``) assumes every
@@ -88,28 +109,54 @@ def calibrate_transition(params: dict, z_samples: jax.Array,
     (``transition_int8`` / ``_halo`` / ``_split``) are unchanged; only the
     packed weights/scales differ.
 
-    z_samples: (N, H, W, L) binary latents; action_onehots: (N, A).
+    z_samples: (N, H, W, L) binary latents.
+
+    action_onehots: (N, A) for single-step calibration, or (N, T, A) to
+    calibrate over a T-step exact free-run from ``z_samples`` (serving
+    semantics: hard-thresholded carry).  PREFER the sequence form for
+    models that will free-run: ranges measured only at the seed states
+    under-cover the states a rollout visits, and the resulting requant
+    clipping compounds step over step (measured: single-step calibration
+    is 16x worse free-run MSE@10 than the exact path on trained pong;
+    multi-step calibration recovers parity — scripts/bench_int8_mse.py).
+
+    ``percentile`` defaults to 100 (per-channel max): for free-running
+    serving, clipping even rare activations compounds step over step —
+    measured on trained pong, max-calibration reaches exact-path MSE@10
+    parity while 99.99 leaves a 2% gap.
     """
     from scmgan_tpu.models.world_model import transition as exact_transition
 
     # exact forward with intermediates (float32 for calibration fidelity)
     p32 = jax.tree.map(lambda x: x.astype(jnp.float32), params)
-    h1, h2, h3, h4, h5, _ = exact_transition(
-        p32, z_samples.astype(jnp.float32),
-        action_onehots.astype(jnp.float32), train=False, return_all=True)
 
     def chan_range(x):
         # per-channel |activation| percentile over batch+space
         flat = jnp.abs(x.reshape(-1, x.shape[-1]))
-        r = jnp.percentile(flat, percentile, axis=0)
-        return jnp.maximum(r, 1e-4)
+        return jnp.percentile(flat, percentile, axis=0)
+
+    if action_onehots.ndim == 3:
+        def step(z, a):
+            h1, h2, h3, h4, h5, z_next = exact_transition(
+                p32, z, a, train=False, return_all=True)
+            return z_next, tuple(chan_range(h)
+                                 for h in (h1, h2, h3, h4, h5))
+
+        _, per_step = lax.scan(
+            step, z_samples.astype(jnp.float32),
+            jnp.swapaxes(action_onehots, 0, 1).astype(jnp.float32))
+        ranges = [jnp.max(r, axis=0) for r in per_step]   # max over time
+    else:
+        h1, h2, h3, h4, h5, _ = exact_transition(
+            p32, z_samples.astype(jnp.float32),
+            action_onehots.astype(jnp.float32), train=False,
+            return_all=True)
+        ranges = [chan_range(h) for h in (h1, h2, h3, h4, h5)]
 
     act_scale = {
-        "conv1": chan_range(h1) / 127.0,   # scale of conv1's OUTPUT
-        "conv2": chan_range(h2) / 127.0,
-        "conv3": chan_range(h3) / 127.0,
-        "conv4": chan_range(h4) / 127.0,
-        "conv5": chan_range(h5) / 127.0,
+        name: jnp.maximum(r, 1e-4) / 127.0   # scale of this conv's OUTPUT
+        for name, r in zip(("conv1", "conv2", "conv3", "conv4", "conv5"),
+                           ranges)
     }
 
     latent = z_samples.shape[-1]
@@ -234,7 +281,7 @@ def transition_int8_halo(qt: QuantizedTransition, z: jax.Array,
     b, h, w, latent = z.shape
     ep = epilogue_dtype
 
-    zp = jnp.pad(z.astype(jnp.int8), ((0, 0), (6, 6), (6, 6), (0, 0)),
+    zp = jnp.pad(_binarize_latent(z), ((0, 0), (6, 6), (6, 6), (0, 0)),
                  mode="wrap")
 
     w1 = qt.weights["conv1"]
@@ -301,7 +348,7 @@ def transition_int8_split(qt: QuantizedTransition, z: jax.Array,
     def epi(name, acc, **kw):
         return _qepilogue(qt, name, acc, epilogue_dtype=ep, **kw)
 
-    zp = wpad(z.astype(jnp.int8))
+    zp = wpad(_binarize_latent(z))
     h1 = epi("conv1", _vconv(zp, w1[:, :, :latent, :]),
              extra_bias_i32=a_bias)
     h1p = wpad(h1)
@@ -467,7 +514,7 @@ def transition_int8_ring(qt: QuantizedTransition, z: jax.Array,
     def rc(name, t, w_i8=None, **kw):
         return _ring_qconv(qt, name, t, w_i8, epilogue_dtype=ep, **kw)
 
-    x = z.astype(jnp.int8)
+    x = _binarize_latent(z)
     h1 = rc("conv1", x, w1[:, :, :latent, :], extra_bias_i32=a_bias)
     h2 = rc("conv2", h1)
     h3 = rc("conv3", h2)
@@ -519,7 +566,7 @@ def transition_int8_v2(qt: QuantizedTransition, z: jax.Array,
     def epi(name, acc, **kw):
         return _qepilogue(qt, name, acc, epilogue_dtype=ep, **kw)
 
-    h1 = epi("conv1", conv("conv1", wpad(z.astype(jnp.int8)),
+    h1 = epi("conv1", conv("conv1", wpad(_binarize_latent(z)),
                            w1[:, :, :latent, :]), extra_bias_i32=a_bias)
     h2 = epi("conv2", conv("conv2", wpad(h1)))
     h3 = epi("conv3", conv("conv3", wpad(h2)))
@@ -545,7 +592,7 @@ def transition_int8(qt: QuantizedTransition, z: jax.Array,
     a_map = jnp.broadcast_to(action_onehot[:, None, None, :],
                              (b, h, w, num_actions))
     x = jnp.concatenate(
-        [z.astype(jnp.int8), a_map.astype(jnp.int8)], axis=-1)
+        [_binarize_latent(z), a_map.astype(jnp.int8)], axis=-1)
     qc = lambda name, t, **kw: _qconv(qt, name, t,
                                       epilogue_dtype=epilogue_dtype, **kw)
     h1 = qc("conv1", x)

@@ -188,7 +188,58 @@ def test_ring_int8_transition_bit_exact(key):
     assert float((ref == out_bf16).mean()) > 0.9
 
 
-def test_v2_int8_transition_bit_exact(key):
+def test_int8_paths_threshold_continuous_latents(key):
+    """Regression: a float latent carry straight off the encoder holds
+    continuous sigmoid values; the int8 engine must threshold them at 0.5
+    (astype(int8) floored them all to zero — 23x MSE at t+10 on trained
+    models before the fix)."""
+    from scmgan_tpu.models import init_world_model
+    from scmgan_tpu.models.quantized import (
+        quantize_transition,
+        transition_int8,
+        transition_int8_v2,
+    )
+
+    wm = init_world_model(key, 8, 4, 1, 3, 3, img_size=16)
+    qt = quantize_transition(wm.transition)
+    zc = jax.random.uniform(key, (2, 16, 16, 8))          # continuous
+    zb = (zc > 0.5).astype(jnp.float32)                   # binarized
+    a = jax.nn.one_hot(jnp.array([1, 3]), 4)
+    for fn in (transition_int8, transition_int8_v2):
+        out_c = fn(qt, zc, a)
+        out_b = fn(qt, zb, a)
+        assert float((out_c == out_b).mean()) == 1.0, fn.__name__
+
+
+def test_calibrate_transition_sequence_form(key):
+    """calibrate_transition with (N, T, A) action sequences sweeps a
+    T-step exact free-run; the resulting scales must serve the int8 path
+    at least as faithfully as single-step calibration (the single-step
+    ranges under-cover rollout states — 16x worse free-run MSE on
+    trained pong before the sequence form existed)."""
+    from scmgan_tpu.models import init_world_model, transition
+    from scmgan_tpu.models.quantized import (
+        calibrate_transition,
+        transition_int8_v2,
+    )
+
+    wm = init_world_model(key, 8, 4, 1, 3, 3, img_size=16)
+    k1, k2, k3 = jax.random.split(key, 3)
+    z0 = (jax.random.uniform(k1, (4, 16, 16, 8)) > 0.5).astype(jnp.float32)
+    a_seq = jax.nn.one_hot(
+        jax.random.randint(k2, (4, 6), 0, 4), 4)          # (N, T, A)
+    qt = calibrate_transition(wm.transition, z0, a_seq)
+
+    # free-run agreement vs the exact path over the same action sequence
+    z_ex, z_q = z0, z0
+    agree = []
+    for t in range(6):
+        a = a_seq[:, t]
+        z_ex = transition(wm.transition, z_ex, a, train=False)
+        z_q = transition_int8_v2(qt, z_q, a).astype(jnp.float32)
+        agree.append(float((z_ex == z_q).mean()))
+    assert agree[0] > 0.99, agree
+    assert min(agree) > 0.9, agree
     """The trimmed serving path (rank-1 action bias, sign threshold, int8
     carry) must match the reference int8 path bit for bit."""
     from scmgan_tpu.models import init_world_model
