@@ -152,29 +152,23 @@ def make_planner(params: WorldModel, num_actions: int, lookahead: int = 2,
 
 def calibrated_qt(params: WorldModel, z: jax.Array, num_actions: int,
                   key: Optional[jax.Array] = None, n_samples: int = 32,
-                  steps: int = 4):
+                  steps: int = 16):
     """Build a calibrated QuantizedTransition from a seed latent state.
 
-    Rolls the exact transition ``steps`` times from ``z`` under random
-    actions to produce a diverse latent population, then calibrates
-    per-channel activation scales on it (models/quantized.py).
+    Sweeps ``steps`` exact transition steps from ``z`` under random
+    actions (serving-semantics hard-threshold carry) and calibrates
+    per-channel activation max ranges over the whole rollout
+    (models/quantized.py::calibrate_transition sequence form).  ``steps``
+    should cover the planner's beam depth (lookahead + rollout_depth):
+    under-covering the visited state distribution makes the requant clip,
+    and clipping error compounds step over step.
     """
     from scmgan_tpu.models.quantized import calibrate_transition
 
     if key is None:
         key = jax.random.PRNGKey(0)
     zs = jnp.repeat(z, n_samples, axis=0)
-    samples = [zs]
-    for i in range(steps):
-        key, k1, k2 = jax.random.split(key, 3)
-        a = jax.nn.one_hot(
-            jax.random.randint(k1, (zs.shape[0],), 0, num_actions),
-            num_actions, dtype=zs.dtype)
-        zs = transition(params.transition, zs, a, train=False)
-        samples.append(zs)
-    z_all = jnp.concatenate(samples, axis=0)
-    key, k_act = jax.random.split(key)
-    a_all = jax.nn.one_hot(
-        jax.random.randint(k_act, (z_all.shape[0],), 0, num_actions),
-        num_actions, dtype=z_all.dtype)
-    return calibrate_transition(params.transition, z_all, a_all)
+    a_seq = jax.nn.one_hot(
+        jax.random.randint(key, (zs.shape[0], steps), 0, num_actions),
+        num_actions, dtype=zs.dtype)
+    return calibrate_transition(params.transition, zs, a_seq)

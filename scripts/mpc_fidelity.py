@@ -70,29 +70,48 @@ def main():
     z_all = encode(params.encoder, obs[:, 0:3])
     qt_cal = calibrated_qt(params, z_all[:1], num_actions, key=key)
 
+    # Control: the exact algorithm with bf16 weights — no quantization at
+    # all.  Its disagreement with the f32 exact beam measures how much
+    # argmax instability is intrinsic score tie-ness (any epsilon flips a
+    # tie) rather than int8 error.
+    p_bf16 = jax.tree.map(
+        lambda x: x.astype(jnp.bfloat16)
+        if jnp.issubdtype(x.dtype, jnp.floating) else x, params)
+
     paths = {
-        "exact": dict(),
-        "int8_static": dict(use_int8=True),
-        "int8_calibrated": dict(use_int8=True, qt=qt_cal),
-        "hybrid_tail": dict(int8_tail=True, qt=qt_cal),
+        "exact": (params, dict()),
+        "exact_bf16": (p_bf16, dict()),
+        "int8_static": (params, dict(use_int8=True)),
+        "int8_calibrated": (params, dict(use_int8=True, qt=qt_cal)),
+        "hybrid_tail": (params, dict(int8_tail=True, qt=qt_cal)),
     }
 
     scores = {name: [] for name in paths}
     latency = {}
-    for name, kw in paths.items():
+    for name, (p, kw) in paths.items():
         plan = lambda z: rollout_reward_table(
-            params, z, num_actions, args.lookahead, args.rollout_depth,
+            p, z, num_actions, args.lookahead, args.rollout_depth,
             "noop", 10.0, **kw)
         # warmup/compile
         np.asarray(plan(z_all[:1]))
         t0 = time.perf_counter()
         for i in range(args.states):
-            scores[name].append(np.asarray(plan(z_all[i:i + 1])))
+            scores[name].append(
+                np.asarray(plan(z_all[i:i + 1]), dtype=np.float32))
         latency[name] = (time.perf_counter() - t0) / args.states
 
     ex = np.stack(scores["exact"])
+    # Tie-ness of the decision problem itself: margin between the best and
+    # second-best exact score, relative to the per-state score spread.
+    ex_sorted = np.sort(ex, axis=1)
+    spread_all = np.maximum(ex_sorted[:, -1] - ex_sorted[:, 0], 1e-9)
+    margin = (ex_sorted[:, -1] - ex_sorted[:, -2]) / spread_all
     out = {"metric": "mpc_argmax_agreement", "env": args.env,
-           "states": args.states, "exact_ms_per_plan": round(latency["exact"] * 1e3, 2)}
+           "states": args.states,
+           "exact_ms_per_plan": round(latency["exact"] * 1e3, 2),
+           "exact_top2_rel_margin": {
+               "median": round(float(np.median(margin)), 4),
+               "mean": round(float(margin.mean()), 4)}}
     # Regret is the decision-quality metric that argmax agreement is not:
     # pong's per-action plan scores are near-ties, so a quantized path can
     # disagree on the argmax while giving up almost no exact-path value.
@@ -100,7 +119,8 @@ def main():
     # normalized by the exact score *spread* over actions for that state.
     ex_best = ex.max(axis=1)
     ex_spread = np.maximum(ex.max(axis=1) - ex.min(axis=1), 1e-9)
-    for name in ("int8_static", "int8_calibrated", "hybrid_tail"):
+    for name in ("exact_bf16", "int8_static", "int8_calibrated",
+                 "hybrid_tail"):
         s = np.stack(scores[name])
         agree = float((s.argmax(1) == ex.argmax(1)).mean())
         rho = float(np.mean([spearman(s[i], ex[i]) for i in range(len(s))]))
