@@ -52,6 +52,9 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("--seed", type=int, default=0)
     p.add_argument("--out-dir", type=str, default=".")
     p.add_argument("--compute-dtype", type=str, default="bfloat16")
+    p.add_argument("--scan-unroll", type=int, default=1,
+                   help="BPTT time-loop unroll factor (~10%% faster steps "
+                        "at full unroll, more compile time per bucket)")
     p.add_argument("--mesh", type=str, default=None,
                    help="Device mesh as DATAxMODEL, e.g. 4x2")
     p.add_argument("--no-videos", action="store_true")
@@ -115,6 +118,7 @@ def config_from_args(args):
         seed=args.seed,
         out_dir=args.out_dir,
         compute_dtype=args.compute_dtype,
+        scan_unroll=args.scan_unroll,
         mesh_shape=mesh_shape,
         eval_batch_size=args.eval_batch_size,
         eval_timesteps=args.eval_timesteps,

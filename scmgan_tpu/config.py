@@ -56,6 +56,9 @@ class Config:
     deterministic_transition: bool = False
     remat_transition: bool = False  # remat the BPTT-scan transition
                                     # (scripts/bench_remat.py decides)
+    scan_unroll: int = 1            # BPTT time-loop unroll factor (~10%
+                                    # faster steps at full unroll; costs
+                                    # compile time per horizon bucket)
     enable_action_control_loss: bool = False
     enable_disentanglement_loss: bool = False
     counterfactual_horizon: int = 1

@@ -115,6 +115,7 @@ def loss_config(cfg: Config, horizon: int) -> LossConfig:
         transition_l1_coef=cfg.transition_l1_coef,
         deterministic_transition=cfg.deterministic_transition,
         remat_transition=cfg.remat_transition,
+        scan_unroll=cfg.scan_unroll,
     )
 
 

@@ -242,3 +242,16 @@ def test_cf_both_losses_use_clean_z_orig(setup):
     np.testing.assert_allclose(
         np.asarray(m_both["cf_control_loss"]),
         np.asarray(m_ctrl["cf_control_loss"]), rtol=1e-6)
+
+
+def test_scan_unroll_is_numerics_identical(setup):
+    """`scan_unroll` only changes XLA's loop flattening — the loss (every
+    objective enabled) must be bit-identical to the scan=1 program."""
+    spec, wm, batch = setup
+    kw = dict(horizon=T, latent_overshooting=True, enable_cf_shuffle=True,
+              enable_cf_control=True)
+    l1, m1 = _loss(wm, batch, LossConfig(scan_unroll=1, **kw))
+    l2, m2 = _loss(wm, batch, LossConfig(scan_unroll=T, **kw))
+    assert float(l1) == float(l2)
+    for k in m1:
+        assert float(m1[k]) == float(m2[k]), k
