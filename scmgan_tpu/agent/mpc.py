@@ -50,7 +50,7 @@ def _action_table(num_actions: int, lookahead: int, rollout_depth: int,
 
 @partial(jax.jit, static_argnames=("num_actions", "lookahead", "rollout_depth",
                                    "rollout_policy", "negative_positive_tradeoff",
-                                   "use_int8", "int8_tail"))
+                                   "use_int8", "int8_tail", "share_prefix"))
 def rollout_reward_table(
     params: WorldModel,
     z: jax.Array,
@@ -63,6 +63,7 @@ def rollout_reward_table(
     use_int8: bool = False,
     int8_tail: bool = False,
     qt=None,
+    share_prefix: bool = True,
 ):
     """Expected best cumulative reward per first action.
 
@@ -103,18 +104,39 @@ def rollout_reward_table(
     table = _action_table(num_actions, lookahead, rollout_depth,
                           rollout_policy, key)
     width = table.shape[0]
-    z_beam = jnp.broadcast_to(z, (width,) + z.shape[1:])
-    a0 = jax.nn.one_hot(table[:, 0], num_actions, dtype=z.dtype)
-    z_beam = head_fn(z_beam, a0)
-    cumulative = predict_reward(params.reward_predictor, z_beam)
 
     # enumerated lookahead block (exact under int8_tail), then the rollout
     # tail — reference structure: main.py:467-479.
-    for i in range(lookahead):
-        a_oh = jax.nn.one_hot(table[:, 1 + i], num_actions, dtype=z_beam.dtype)
-        z_beam = head_fn(z_beam, a_oh)
-        cumulative = cumulative + predict_reward(params.reward_predictor,
-                                                 z_beam)
+    if share_prefix:
+        # Prefix-shared head: beams sharing an action prefix are identical
+        # until their plans diverge, so stage k evaluates only the
+        # A^(k+1) unique prefixes instead of the full A^(lookahead+1)
+        # beam — ~11% fewer transition+reward evals at the reference
+        # recipe (A=4, lookahead 2, depth 12), bit-identical scores.
+        # Stage-k beam index i encodes the prefix (a_0..a_k) base-A
+        # lexicographically (a_0-major), matching _action_table's row
+        # order, so the fully-widened beam lines up with table rows.
+        z_beam = jnp.broadcast_to(z, (1,) + z.shape[1:])
+        cumulative = None
+        for k in range(lookahead + 1):
+            z_beam = jnp.repeat(z_beam, num_actions, axis=0)
+            stage_a = jnp.tile(jnp.arange(num_actions), num_actions ** k)
+            a_oh = jax.nn.one_hot(stage_a, num_actions, dtype=z.dtype)
+            z_beam = head_fn(z_beam, a_oh)
+            r = predict_reward(params.reward_predictor, z_beam)
+            cumulative = r if cumulative is None else (
+                jnp.repeat(cumulative, num_actions, axis=0) + r)
+    else:
+        z_beam = jnp.broadcast_to(z, (width,) + z.shape[1:])
+        a0 = jax.nn.one_hot(table[:, 0], num_actions, dtype=z.dtype)
+        z_beam = head_fn(z_beam, a0)
+        cumulative = predict_reward(params.reward_predictor, z_beam)
+        for i in range(lookahead):
+            a_oh = jax.nn.one_hot(table[:, 1 + i], num_actions,
+                                  dtype=z_beam.dtype)
+            z_beam = head_fn(z_beam, a_oh)
+            cumulative = cumulative + predict_reward(params.reward_predictor,
+                                                     z_beam)
 
     def step(carry, a_t):
         z_beam, cum = carry

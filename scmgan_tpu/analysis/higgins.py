@@ -55,9 +55,31 @@ def _train_classifier(z_diffs: jnp.ndarray, labels: jnp.ndarray,
     return params
 
 
+def _moment_features(z: np.ndarray) -> np.ndarray:
+    """(B, H, W, C) conv latents -> (B, C*3) per-channel spatial moments:
+    total mass, centroid-y, centroid-x (centroids normalized to [0, 1]).
+
+    The reference's conv protocol reduces |dz| with a spatial SUM
+    (higgins.py:121-122), which is invariant to WHERE activation moved —
+    structurally blind to spatially-coded factors (the round-2 oracle
+    experiment: a ground-truth-render encoder scores chance).  Moments
+    keep the location information that this architecture actually uses to
+    code factors."""
+    zf = np.abs(z.astype(np.float32))
+    m = zf.sum(axis=(1, 2))                                   # (B, C)
+    h, w = zf.shape[1:3]
+    ys = np.arange(h, dtype=np.float32)[None, :, None, None]
+    xs = np.arange(w, dtype=np.float32)[None, None, :, None]
+    denom = np.maximum(m, 1e-6)
+    cy = (zf * ys).sum(axis=(1, 2)) / denom / max(h - 1, 1)
+    cx = (zf * xs).sum(axis=(1, 2)) / denom / max(w - 1, 1)
+    return np.concatenate([m, cy, cx], axis=-1)
+
+
 def _collect_z_diffs(simulator, encoder_fn, true_latent_dim: int,
                      encoded_latent_dim: int, batches: int, batch_size: int,
-                     rng: np.random.Generator, conv: bool, L: int = 5):
+                     rng: np.random.Generator, conv: bool, L: int = 5,
+                     spatial_moments: bool = False):
     """Build the (num_samples, encoded_latent_dim) z-diff dataset + labels.
 
     Mirrors generate_equivariance_test_batch (reference higgins.py:35-56):
@@ -75,10 +97,15 @@ def _collect_z_diffs(simulator, encoder_fn, true_latent_dim: int,
             right = np.asarray(simulator(factors[:, 1]), np.float32)
             zl = np.asarray(encoder_fn(jnp.asarray(left)))
             zr = np.asarray(encoder_fn(jnp.asarray(right)))
-            d = np.abs(zl - zr)
-            if conv:
-                # conv latents: sum over spatial dims (higgins.py:121-122)
-                d = d.sum(axis=(1, 2))
+            if spatial_moments:
+                # |feature(z_l) - feature(z_r)| on per-channel moments —
+                # location-aware, unlike the reference's spatial sum.
+                d = np.abs(_moment_features(zl) - _moment_features(zr))
+            else:
+                d = np.abs(zl - zr)
+                if conv:
+                    # conv latents: sum over spatial dims (higgins.py:121-122)
+                    d = d.sum(axis=(1, 2))
             diffs[l] = d.reshape(batch_size, -1)
         all_diffs.append(diffs.mean(axis=0))
         all_labels.append(y)
@@ -89,16 +116,19 @@ def higgins_metric(simulator: Callable, true_latent_dim: int,
                    encoder_fn: Callable, encoded_latent_dim: int,
                    batch_size: int = 32, train_iters: int = 200,
                    seed: int = 0, conv: bool = False,
-                   test_batches: int = 8) -> float:
+                   test_batches: int = 8,
+                   spatial_moments: bool = False) -> float:
     """Returns test accuracy of the factor classifier (the metric)."""
     rng = np.random.default_rng(seed)
     key = jax.random.PRNGKey(seed)
     n_batches = max(4, train_iters // 20)
     z_diffs, labels = _collect_z_diffs(
         simulator, encoder_fn, true_latent_dim, encoded_latent_dim,
-        n_batches, batch_size, rng, conv)
-    # normalize for stable linear training
-    scale = z_diffs.std() + 1e-8
+        n_batches, batch_size, rng, conv, spatial_moments=spatial_moments)
+    # normalize for stable linear training (per-feature: moment features
+    # mix scales — mass ~O(HW), centroids in [0, 1])
+    scale = z_diffs.std(axis=0, keepdims=True) + 1e-8 \
+        if spatial_moments else z_diffs.std() + 1e-8
     z_train = jnp.asarray(z_diffs / scale)
     y_train = jnp.asarray(labels)
     params = _train_classifier(z_train, y_train, true_latent_dim,
@@ -106,7 +136,8 @@ def higgins_metric(simulator: Callable, true_latent_dim: int,
 
     zt, yt = _collect_z_diffs(
         simulator, encoder_fn, true_latent_dim, encoded_latent_dim,
-        test_batches, batch_size, rng, conv)
+        test_batches, batch_size, rng, conv,
+        spatial_moments=spatial_moments)
     logits = jnp.asarray(zt / scale) @ params[0] + params[1]
     acc = float((jnp.argmax(logits, -1) == jnp.asarray(yt)).mean())
     print(f"Higgins metric test accuracy: {acc:.4f}")
@@ -121,3 +152,22 @@ def higgins_metric_conv(simulator, true_latent_dim, encoder_fn,
     return higgins_metric(simulator, true_latent_dim, encoder_fn,
                           encoded_latent_dim, batch_size=batch_size,
                           train_iters=train_iters, seed=seed, conv=True)
+
+
+def higgins_metric_spatial(simulator, true_latent_dim, encoder_fn,
+                           num_channels: int, batch_size: int = 16,
+                           train_iters: int = 200, seed: int = 0) -> float:
+    """Location-aware conv-latent variant (extension beyond the reference).
+
+    The reference's conv protocol (higgins.py:121-122) sums |dz| over the
+    latent map's spatial dims, so it can only detect *channel-coded*
+    factors; this architecture codes factors *spatially* (which latent
+    pixels are active), and the round-2 oracle experiment showed even a
+    perfect spatial code scores chance under the sum.  This variant
+    classifies |moment(z_l) - moment(z_r)| on per-channel spatial moments
+    (mass, centroid-y, centroid-x) — the same protocol otherwise
+    (paired factors sharing exactly one, L=5 averaging, linear probe)."""
+    return higgins_metric(simulator, true_latent_dim, encoder_fn,
+                          num_channels * 3, batch_size=batch_size,
+                          train_iters=train_iters, seed=seed,
+                          spatial_moments=True)

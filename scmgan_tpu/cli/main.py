@@ -192,7 +192,10 @@ def main(argv=None):
             if spec.simulator is None:
                 print(f"--higgins: env {spec.name!r} has no simulator")
             else:
-                from scmgan_tpu.analysis.higgins import higgins_metric_conv
+                from scmgan_tpu.analysis.higgins import (
+                    higgins_metric_conv,
+                    higgins_metric_spatial,
+                )
                 from scmgan_tpu.models import encode
 
                 def encoder_fn(images):
@@ -206,6 +209,12 @@ def main(argv=None):
                     return encode(state.params.encoder, x)
 
                 higgins_metric_conv(
+                    spec.simulator, spec.true_latent_dim, encoder_fn,
+                    cfg.latent_dim, train_iters=args.higgins_iters)
+                # Location-aware extension (reference protocol is blind
+                # to same-channel spatially-coded factors — README):
+                print("spatial-moments variant:")
+                higgins_metric_spatial(
                     spec.simulator, spec.true_latent_dim, encoder_fn,
                     cfg.latent_dim, train_iters=args.higgins_iters)
     else:

@@ -104,3 +104,18 @@ def test_play_episode_int8_planner(setup, tmp_path):
     assert steps >= 3
     assert any(f.startswith("evaluation_metrics_")
                for f in os.listdir(tmp_path))
+
+
+def test_prefix_shared_beam_is_bit_identical(setup, key):
+    """The prefix-shared enumerated head (default) must reproduce the
+    full-width beam's scores exactly — beams sharing an action prefix are
+    identical until their plans diverge, so sharing is pure dedup."""
+    ds, wm = setup
+    z = (jax.random.uniform(key, (1, 16, 16, 8)) > 0.5).astype(jnp.float32)
+    for lookahead in (1, 2):
+        shared = rollout_reward_table(
+            wm, z, 4, lookahead=lookahead, rollout_depth=4)
+        full = rollout_reward_table(
+            wm, z, 4, lookahead=lookahead, rollout_depth=4,
+            share_prefix=False)
+        assert jnp.array_equal(shared, full), (lookahead, shared, full)

@@ -153,3 +153,42 @@ def test_dsprites_procedural_fallback():
     assert img.max() == 1.0  # sprite visible
     batch = dsprites.simulator(np.random.default_rng(0).uniform(size=(3, 4)))
     assert batch.shape == (3, 64, 64)
+
+
+def test_higgins_spatial_detects_spatially_coded_factors():
+    """Decisive contrast for the round-2 root cause: an oracle encoder
+    that codes each factor as WHERE a blob sits on one channel.  The
+    reference's spatial-sum conv protocol is structurally blind to it
+    (scores ~chance); the spatial-moments variant must recover it."""
+    from scmgan_tpu.analysis.higgins import (
+        higgins_metric,
+        higgins_metric_spatial,
+    )
+
+    true_dim, n_ch, H = 4, 2, 16
+
+    def simulator(factors):
+        # (B, 4) -> (B, H, H, 2): channel c holds ONE pixel blob at
+        # (row, col) = (f[2c], f[2c+1]) — two factors per channel, coded
+        # purely by position.  |dz| summed over space only reveals WHICH
+        # channel moved (2 candidate factors -> 50% ceiling); the moments
+        # separate row-moves from col-moves.
+        f = np.asarray(factors)
+        b = f.shape[0]
+        imgs = np.zeros((b, H, H, n_ch), np.float32)
+        pos = np.clip((f * (H - 1)).astype(int), 0, H - 1)
+        for i in range(b):
+            for c in range(n_ch):
+                imgs[i, pos[i, 2 * c], pos[i, 2 * c + 1], c] = 1.0
+        return imgs
+
+    def encoder_fn(x):
+        return np.asarray(x)  # oracle: latents are the render itself
+
+    kw = dict(batch_size=32, train_iters=200, seed=0)
+    acc_sum = higgins_metric(simulator, true_dim, encoder_fn,
+                             n_ch, conv=True, test_batches=4, **kw)
+    acc_spatial = higgins_metric_spatial(simulator, true_dim, encoder_fn,
+                                         num_channels=n_ch, **kw)
+    assert acc_sum < 0.7, acc_sum          # sum: capped at which-channel
+    assert acc_spatial > 0.8, acc_spatial  # moments: identifies the factor
