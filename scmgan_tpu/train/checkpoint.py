@@ -75,8 +75,20 @@ def save_model(ckpt_dir: str, params: WorldModel):
 
 def load_model(ckpt_dir: str, template: WorldModel) -> WorldModel:
     """Load the five per-network files, with the reference's presence check
-    on the encoder file (main.py:81-83)."""
-    if MODEL_FILES["encoder"] not in os.listdir(ckpt_dir):
+    on the encoder file (main.py:81-83).
+
+    A directory holding the REFERENCE's ``model-*.pth`` files (and no
+    native ``.npz``) is detected and imported transparently via
+    ``train/torch_import.py`` — ``--load-from`` works on either format.
+    """
+    files = os.listdir(ckpt_dir)
+    if MODEL_FILES["encoder"] not in files:
+        if "model-encoder.pth" in files:
+            from scmgan_tpu.train.torch_import import (
+                load_reference_checkpoint,
+            )
+
+            return load_reference_checkpoint(ckpt_dir)
         raise ValueError(
             f"Failed to load saved models from directory {ckpt_dir}")
     return WorldModel(**{

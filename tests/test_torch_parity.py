@@ -281,3 +281,42 @@ def test_load_reference_checkpoint_files(tmp_path):
     # loaded model runs
     z = jax.random.uniform(jax.random.PRNGKey(0), (1, 16, 16, latent))
     assert decode(wm.decoder, z).shape == (1, 16, 16, color)
+
+
+def test_load_model_falls_back_to_reference_pth(tmp_path):
+    """--load-from on a directory of reference .pth files (no native .npz)
+    must import transparently through train/torch_import.py."""
+    from scmgan_tpu.train import checkpoint as ckpt
+
+    latent, actions, color = 8, 4, 3
+    dicts = {"encoder": {}, "transition": {}, "decoder": {},
+             "reward_predictor": {}, "discriminator": {}}
+    dicts["encoder"].update(_sn_dict("conv1", 32, color * 3, seed=150))
+    dicts["encoder"].update(_sn_dict("conv2", 32, 32, seed=151))
+    dicts["encoder"].update(_sn_dict("conv3", 32, 32, seed=152))
+    dicts["encoder"].update(_plain_dict("conv4", latent, 32, seed=153))
+    for i in range(1, 6):
+        cin = latent + actions if i == 1 else (64 if i == 5 else 32)
+        dicts["transition"].update(_sn_dict(f"conv{i}", 32, cin,
+                                            seed=160 + i))
+    dicts["transition"].update(_plain_dict("conv6", latent, 64, seed=166))
+    dicts["decoder"].update(_plain_dict("conv1", latent * 4, latent,
+                                        seed=170, transpose=True))
+    dicts["decoder"].update(_plain_dict("conv2", latent * color, latent * 4,
+                                        seed=171, transpose=True))
+    dicts["reward_predictor"].update(_plain_dict("conv1", 32, latent,
+                                                 seed=172))
+    dicts["reward_predictor"].update(_plain_dict("conv2", 2 * 3, 32,
+                                                 seed=173))
+    dicts["discriminator"].update(_sn_dict("conv1", 32, 3, seed=174))
+    dicts["discriminator"].update(_sn_dict("conv2", 32, 32, seed=175))
+    dicts["discriminator"].update(_plain_dict("conv3", 32, 32, seed=176))
+    g = torch.Generator().manual_seed(177)
+    dicts["discriminator"]["fc1.weight"] = torch.randn(1, 32 * 7 * 7,
+                                                       generator=g)
+    dicts["discriminator"]["fc1.bias"] = torch.randn(1, generator=g)
+    for name, sd in dicts.items():
+        torch.save(sd, tmp_path / f"model-{name}.pth")
+
+    wm = ckpt.load_model(str(tmp_path), template=None)  # template unused
+    assert wm.transition["conv5"]["w"].shape == (3, 3, 64, 32)
