@@ -131,8 +131,15 @@ def calibrate_transition(params: dict, z_samples: jax.Array,
     p32 = jax.tree.map(lambda x: x.astype(jnp.float32), params)
 
     def chan_range(x):
-        # per-channel |activation| percentile over batch+space
+        # per-channel |activation| percentile over batch+space.  The
+        # default (100 = per-channel max) must NOT lower to
+        # jnp.percentile: its sort, repeated per scan step, makes the
+        # TPU compile pathological (observed: a 16-step calibration scan
+        # hung the remote compile service for 40+ min; jnp.max compiles
+        # in seconds).
         flat = jnp.abs(x.reshape(-1, x.shape[-1]))
+        if percentile >= 100.0:
+            return jnp.max(flat, axis=0)
         return jnp.percentile(flat, percentile, axis=0)
 
     if action_onehots.ndim == 3:
