@@ -84,8 +84,10 @@ class Datasource:
 
 def allocate_datasource(name: str, seed: int = 0) -> Datasource:
     """String -> Datasource (reference datasource.py:8-26)."""
-    # Host-process environments (ALE / SC2) route through envs.host.
-    if name.startswith("sc2_") or name in ("atari", "centipede"):
+    # Host-process environments (ALE / SC2 / generic gym) route through
+    # envs.host.  "gym:<EnvName>" reaches any pixel gym/gymnasium env.
+    if (name.startswith("sc2_") or name.startswith("gym:")
+            or name in ("atari", "centipede")):
         from scmgan_tpu.envs.host import allocate_host_datasource
 
         return allocate_host_datasource(name, seed=seed)

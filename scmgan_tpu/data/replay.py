@@ -24,6 +24,7 @@ by a lock instead of relying on the GIL over bare-list mutation.
 
 from __future__ import annotations
 
+import sys
 import threading
 import time
 from typing import Callable, List, Optional, Tuple
@@ -42,15 +43,30 @@ class ReplayBuffer:
         self._test: List[Episode] = []
         self._lock = threading.Lock()
         self._rng = np.random.default_rng(seed)
+        # bumped on every mutation; lets consumers cache derived views
+        # (the stitch arena) instead of rebuilding per sample.  Per-slot
+        # versions let them copy in only the episodes that changed —
+        # on a live env a new episode lands every few seconds, so a
+        # whole-buffer rebuild per collect() would be O(buffer) ~ hundreds
+        # of MB per train iteration.
+        self.version = 0
+        self._train_slot_versions: List[int] = []
+        self._test_slot_versions: List[int] = []
 
     def add(self, episode: Episode):
         with self._lock:
-            buf = (self._train
-                   if self._rng.random() > self.test_holdout else self._test)
+            train = self._rng.random() > self.test_holdout
+            buf = self._train if train else self._test
+            versions = (self._train_slot_versions if train
+                        else self._test_slot_versions)
+            self.version += 1
             if len(buf) < self.capacity:
                 buf.append(episode)
+                versions.append(self.version)
             else:
-                buf[self._rng.integers(0, self.capacity)] = episode
+                idx = int(self._rng.integers(0, self.capacity))
+                buf[idx] = episode
+                versions[idx] = self.version
 
     def __len__(self):
         with self._lock:
@@ -136,6 +152,11 @@ class HostActor:
                     time.sleep(self.episode_sleep)
         except BaseException as e:  # surfaced to the trainer via liveness
             self.error = e
+            # At interpreter shutdown the emulator's renderer/backends are
+            # torn down under us (e.g. pygame de-inits its font module);
+            # exit quietly instead of spamming "Exception in thread".
+            if sys.is_finalizing():
+                return
             raise
 
     def _play_episode(self, env):
@@ -174,6 +195,57 @@ class HostActor:
         return np.atleast_1d(np.asarray(reward_sum, np.float32))
 
 
+class _SlotArena:
+    """Contiguous arenas feeding the C stitcher, one fixed-stride slot per
+    buffer episode: episode i occupies rows [i*stride, i*stride+len_i).
+    Slots are overwritten in place as episodes land or get reservoir-
+    replaced, so steady-state ingest is O(changed episode); storage grows
+    geometrically up to ``capacity`` slots."""
+
+    def __init__(self, capacity: int, stride: int, frame_shape, reward_dim):
+        self.capacity = capacity
+        self.stride = stride
+        self.slot_versions: List[int] = []
+        self.n_slots = 0
+        self.frames = np.zeros((0,) + tuple(frame_shape), np.float32)
+        self.rewards = np.zeros((0, reward_dim), np.float32)
+        self.actions = np.zeros((0,), np.int32)
+        self.lengths = np.zeros((0,), np.int32)
+
+    def fits(self, episode) -> bool:
+        frames = episode[0]
+        return (len(frames) <= self.stride
+                and tuple(np.asarray(frames).shape[1:])
+                == self.frames.shape[1:])
+
+    def _ensure(self, n_slots: int):
+        if n_slots <= self.n_slots:
+            return
+        target = min(self.capacity, max(n_slots, 2 * self.n_slots))
+        rows = target * self.stride
+        for name in ("frames", "rewards", "actions"):
+            old = getattr(self, name)
+            grown = np.zeros((rows,) + old.shape[1:], old.dtype)
+            grown[: old.shape[0]] = old
+            setattr(self, name, grown)
+        self.lengths = np.concatenate(
+            [self.lengths, np.zeros(target - self.n_slots, np.int32)])
+        self.n_slots = target
+
+    def set_slot(self, i: int, episode):
+        frames, rewards, actions = episode
+        self._ensure(i + 1)
+        n = len(frames)
+        row = i * self.stride
+        self.frames[row:row + n] = np.asarray(frames, np.float32)
+        r = np.asarray(rewards, np.float32)
+        if r.ndim == 1:
+            r = r[:, None]
+        self.rewards[row:row + n] = r
+        self.actions[row:row + n] = np.asarray(actions).reshape(-1)
+        self.lengths[i] = n
+
+
 class HostReplayDatasource:
     """Datasource facade over a HostActor + ReplayBuffer pair, exposing the
     reference's ``get_trajectories`` contract for host-process envs."""
@@ -183,11 +255,15 @@ class HostReplayDatasource:
                  min_buffer_len: int = 4, capacity: int = 50,
                  max_trajectory_len: int = 150, seed: int = 0,
                  policy=None, warmup_steps: int = 0, warmup_action: int = 0,
-                 split_reward=None, sync_refill_factor: Optional[int] = None):
+                 split_reward=None, sync_refill_factor: Optional[int] = None,
+                 name: str = "host", height: int = 64, width: int = 64):
         self.binary_input_channels = num_actions
         self.scalar_output_channels = num_rewards
         self.conv_input_channels = channels
         self.conv_output_channels = channels
+        self.name = name
+        self.height = height
+        self.width = width
         self.min_buffer_len = min_buffer_len
         self._make_env = make_env
         self._convert = convert_frame
@@ -205,6 +281,25 @@ class HostReplayDatasource:
                                split_reward=split_reward)
         self._started = False
         self._rng = np.random.default_rng(seed)
+        # per-split (training bool -> (version, arenas...)) stitch cache
+        self._arena_cache: dict = {}
+
+    @property
+    def spec(self):
+        """EnvSpec view for model sizing (init_train_state reads
+        num_actions/num_rewards/channels/height; cli/main.py:155).  The
+        dynamics callables live in the host process, not on device."""
+        from scmgan_tpu.envs.base import EnvSpec
+
+        return EnvSpec(
+            name=self.name,
+            num_actions=self.binary_input_channels,
+            num_rewards=self.scalar_output_channels,
+            channels=self.conv_input_channels,
+            height=self.height,
+            width=self.width,
+            reset=None, step=None, render=None,
+        )
 
     def _ensure_started(self):
         if not self._started:
@@ -279,28 +374,58 @@ class HostReplayDatasource:
 
     def _try_native_stitch(self, batch_size, timesteps, random_start,
                            training):
-        """Concatenate the buffer's episodes into contiguous arenas and let
-        the C stitcher assemble the batch in one pass."""
+        """Assemble the batch with the C stitcher over slotted arenas.
+
+        The arena is incremental, keyed on the buffer's per-slot versions:
+        only episodes that changed since the last call are copied in
+        (O(episode) per new episode).  A live env lands a new episode every
+        few seconds, so both the naive per-call concat AND a whole-arena
+        rebuild on every version bump are O(buffer) — hundreds of MB per
+        train iteration, which dominated the loop on gymnasium CarRacing."""
         try:
             from scmgan_tpu.native import stitch_batch
         except Exception:
             return None
-        with self.buffer._lock:
-            episodes = list(self.buffer._train if training
-                            else self.buffer._test)
-        if not episodes:
-            return None
-        frames = np.concatenate([e[0] for e in episodes]).astype(np.float32)
-        rewards = np.concatenate([e[1] for e in episodes]).astype(np.float32)
-        actions = np.concatenate(
-            [np.asarray(e[2]).reshape(-1) for e in episodes]).astype(np.int32)
-        lengths = np.array([len(e[0]) for e in episodes], np.int32)
-        offsets = np.concatenate([[0], np.cumsum(lengths)[:-1]]).astype(
-            np.int64)
-        if rewards.ndim == 1:
-            rewards = rewards[:, None]
+        buf_obj = self.buffer
+        with buf_obj._lock:
+            buf = buf_obj._train if training else buf_obj._test
+            if not buf:
+                return None
+            versions = list(buf_obj._train_slot_versions if training
+                            else buf_obj._test_slot_versions)
+            all_eps = list(buf)  # refs only; episodes are write-once
+            if len(versions) != len(all_eps):
+                # buffer was filled out-of-band (hand-built in tests),
+                # bypassing add()'s version tracking — key slots on episode
+                # identity instead (negative: disjoint from real versions)
+                versions = [-id(ep) for ep in all_eps]
+        arena = self._arena_cache.get(training)
+        if arena is None:
+            changed = list(enumerate(all_eps))
+        else:
+            changed = [(i, ep) for i, ep in enumerate(all_eps)
+                       if (i >= len(arena.slot_versions)
+                           or arena.slot_versions[i] != versions[i])]
+        if changed and (arena is None
+                        or not all(arena.fits(ep) for _, ep in changed)):
+            # (re)build: stride must fit every episode in the buffer
+            changed = list(enumerate(all_eps))
+            stride = max([len(ep[0]) for ep in all_eps]
+                         + [self.actor.max_trajectory_len])
+            r0 = np.asarray(all_eps[0][1], np.float32)
+            arena = _SlotArena(
+                capacity=buf_obj.capacity, stride=stride,
+                frame_shape=np.asarray(all_eps[0][0]).shape[1:],
+                reward_dim=1 if r0.ndim == 1 else r0.shape[1])
+        for i, ep in changed:
+            arena.set_slot(i, ep)
+        arena.slot_versions = versions
+        self._arena_cache[training] = arena
+        n = len(versions)
+        offsets = (np.arange(n, dtype=np.int64) * arena.stride)
         seed = int(self._rng.integers(1, 2 ** 62))
-        return stitch_batch(frames, rewards, actions, offsets, lengths,
+        return stitch_batch(arena.frames, arena.rewards, arena.actions,
+                            offsets, arena.lengths[:n],
                             batch_size, timesteps,
                             random_start=random_start, seed=seed)
 

@@ -15,10 +15,18 @@ from __future__ import annotations
 
 
 def allocate_host_datasource(name: str, seed: int = 0):
-    if name in ("atari", "centipede"):
+    if name == "atari":
         from scmgan_tpu.envs.host.atari import AtariDatasource
 
         return AtariDatasource(name, seed=seed)
+    if name == "centipede":
+        from scmgan_tpu.envs.host.centipede import CentipedeDatasource
+
+        return CentipedeDatasource(name, seed=seed)
+    if name.startswith("gym:"):
+        from scmgan_tpu.envs.host.gym_pixel import GymPixelDatasource
+
+        return GymPixelDatasource(name.split(":", 1)[1], seed=seed)
     if name.startswith("sc2_"):
         from scmgan_tpu.envs.host.sc2 import SC2Datasource
 

@@ -63,15 +63,22 @@ def crop_resize_64(rgb: np.ndarray) -> np.ndarray:
 
 
 def _require_gym_atari():
-    try:
-        import gym
+    """Legacy gym first (SpaceInvadersDeterministic-v4), then gymnasium's
+    ALE namespace (ALE/SpaceInvaders-v5 needs ale_py)."""
+    from scmgan_tpu.envs.host.gym_compat import import_gym
 
-        env = gym.make("SpaceInvadersDeterministic-v4")
-        return gym, env
+    try:
+        gym_mod = import_gym()
+        for name in ("SpaceInvadersDeterministic-v4", "ALE/SpaceInvaders-v5"):
+            try:
+                return gym_mod, gym_mod.make(name), name
+            except Exception:
+                continue
+        raise ImportError("no SpaceInvaders registration found")
     except Exception as e:
         raise ImportError(
-            "Atari support requires gym with atari_py / ale_py installed; "
-            f"not available in this image ({e!r})."
+            "Atari support requires gym/gymnasium with atari_py / ale_py "
+            f"installed; not available in this image ({e!r})."
         ) from e
 
 
@@ -79,12 +86,12 @@ class AtariDatasource(HostReplayDatasource):
     """SpaceInvaders replay-buffer datasource (reference envs/atari.py)."""
 
     def __init__(self, name: str = "atari", seed: int = 0):
-        gym, probe_env = _require_gym_atari()
+        gym, probe_env, reg_name = _require_gym_atari()
         num_actions = probe_env.action_space.n
         probe_env.close()
 
         def make_env(*args, **kwargs):
-            env = gym.make("SpaceInvadersDeterministic-v4")
+            env = gym.make(reg_name)
             return _BurnInWrapper(env, burn_in=50)
 
         super().__init__(
@@ -94,6 +101,7 @@ class AtariDatasource(HostReplayDatasource):
             channels=3,
             convert_frame=crop_resize_64,
             seed=seed,
+            name=name,
         )
 
 

@@ -87,6 +87,27 @@ class HeuristicPolicy:
         return int(self._rng.integers(0, self.num_actions))
 
 
+class CentipedeDatasource:
+    """Replay-buffer datasource over CentipedeEnv with the shoot-biased
+    heuristic policy (reference envs/centipede.py:53-72)."""
+
+    def __new__(cls, name: str = "centipede", seed: int = 0):
+        _require_ale()  # fail on the dependency before building machinery
+        from scmgan_tpu.data.replay import HostReplayDatasource
+
+        policy = HeuristicPolicy(seed=seed)
+        return HostReplayDatasource(
+            make_env=lambda *a, **k: CentipedeEnv(),
+            num_actions=CentipedeEnv.NUM_ACTIONS,
+            num_rewards=2,
+            channels=3,
+            convert_frame=lambda s: np.moveaxis(s, -1, 0),
+            policy=lambda state: policy(state),
+            seed=seed,
+            name=name, height=96, width=64,
+        )
+
+
 def benchmark(steps: int = 200):
     """Simulation-time benchmark (reference centipede.py:96-114)."""
     env = CentipedeEnv()

@@ -20,12 +20,9 @@ from scmgan_tpu.envs.host.atari import convert_breakout, convert_pong
 
 
 def _require_gym():
-    try:
-        import gym
+    from scmgan_tpu.envs.host.gym_compat import import_gym
 
-        return gym
-    except Exception as e:
-        raise ImportError(f"gym is not available in this image ({e!r})") from e
+    return import_gym()
 
 
 class MultiEnvironment:

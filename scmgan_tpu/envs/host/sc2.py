@@ -162,7 +162,7 @@ class SC2Datasource(HostReplayDatasource):
                              f"available: {sorted(SC2_GAMES)}")
         game, num_actions, num_rewards, channels = SC2_GAMES[name]
         kwargs = dict(num_actions=num_actions, num_rewards=num_rewards,
-                      channels=channels, seed=seed)
+                      channels=channels, seed=seed, name=name)
 
         if game == "star_intruders":
             map_name = _VARIANT_MAPS[name]

@@ -95,6 +95,8 @@ def stitch_batch(frames: np.ndarray, rewards: np.ndarray,
     Returns (frames (B,T,...), rewards (B,T,R), dones (B,T) bool,
     actions (B,T)).
     """
+    if len(ep_lengths) == 0:
+        raise ValueError("stitch_batch needs at least one episode")
     lib = _load()
     frames = np.ascontiguousarray(frames, np.float32)
     rewards = np.ascontiguousarray(rewards, np.float32)

@@ -1,0 +1,113 @@
+"""Spatial-Higgins sweep across the trained-model zoo.
+
+Runs BOTH disentanglement protocols on every trained checkpoint whose env
+defines a Higgins simulator (reference higgins.py:22-87 protocol;
+runs/ zoo from scripts/run_round2_campaign.sh):
+
+  * conv-sum    — the reference's conv protocol (sums |dz| over the latent
+                  map's spatial dims; structurally blind to spatially-coded
+                  factors, see README "Higgins root cause")
+  * spatial     — higgins_metric_spatial (per-channel mass + centroid
+                  moments; the location-aware extension)
+
+Writes runs/higgins_zoo.json and prints a table.  Chance = 1/true_factors.
+"""
+
+import json
+import os
+import sys
+
+sys.path.insert(0, os.path.join(os.path.dirname(__file__), ".."))
+
+import jax
+
+# Persistent compile cache: a fresh process otherwise recompiles every
+# program over the axon tunnel (~5 min each) — the sweep is compile-bound.
+jax.config.update("jax_compilation_cache_dir",
+                  os.environ.get("SCMGAN_COMPILE_CACHE", "/tmp/jax_tpu_cache"))
+jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.5)
+
+import jax.numpy as jnp
+
+from scmgan_tpu.analysis.higgins import (
+    higgins_metric_conv,
+    higgins_metric_spatial,
+)
+from scmgan_tpu.config import Config
+from scmgan_tpu.envs import get_env
+from scmgan_tpu.models import encode
+from scmgan_tpu.train import checkpoint as ckpt
+from scmgan_tpu.train.trainer import init_train_state
+
+ZOO = [
+    ("minipong", "runs/minipong_cf"),
+    ("boxes", "runs/boxes_cf"),
+    ("pong", "runs/pong_cf"),
+    # ablation grid (5k iters, pong): does the counterfactual recipe
+    # change spatial-factor identifiability vs plain BPTT / LO?
+    ("pong", "runs/grid_bptt"),
+    ("pong", "runs/grid_cf"),
+    ("pong", "runs/grid_lo"),
+    ("pong", "runs/grid_bptt_det"),
+    ("pong", "runs/grid_cf_det"),
+]
+
+
+def encoder_for(params):
+    def encoder_fn(images):
+        x = jnp.asarray(images)
+        if x.ndim == 4:
+            # single-frame simulators: tile into the 3-frame window
+            x = jnp.repeat(x[:, None], 3, axis=1)
+        return encode(params.encoder, x)
+
+    return encoder_fn
+
+
+def main():
+    # resume: completed rows from a prior (timed-out) sweep are kept
+    results = {}
+    if os.path.exists("runs/higgins_zoo.json"):
+        with open("runs/higgins_zoo.json") as f:
+            results = json.load(f)
+    for env_name, run_dir in ZOO:
+        if os.path.basename(run_dir) in results:
+            print(f"-- {run_dir} already measured, skipping")
+            continue
+        if not os.path.isdir(run_dir):
+            print(f"-- {run_dir} missing, skipping")
+            continue
+        spec = get_env(env_name)
+        if spec.simulator is None:
+            print(f"-- {env_name} has no simulator, skipping")
+            continue
+        cfg = Config(env=env_name)
+        state = init_train_state(cfg, spec, jax.random.PRNGKey(0))
+        state = ckpt.load_train_state(run_dir, state)
+        enc = encoder_for(state.params)
+        conv_acc = higgins_metric_conv(
+            spec.simulator, spec.true_latent_dim, enc, cfg.latent_dim,
+            train_iters=200)
+        spatial_acc = higgins_metric_spatial(
+            spec.simulator, spec.true_latent_dim, enc, cfg.latent_dim,
+            train_iters=200)
+        chance = 1.0 / spec.true_latent_dim
+        results[os.path.basename(run_dir)] = {
+            "env": env_name,
+            "run": run_dir,
+            "true_factors": spec.true_latent_dim,
+            "chance": chance,
+            "higgins_conv_sum": float(conv_acc),
+            "higgins_spatial": float(spatial_acc),
+        }
+        print(f"{env_name:10s} {run_dir:22s} factors={spec.true_latent_dim} "
+              f"chance={chance:.3f} conv-sum={conv_acc:.3f} "
+              f"spatial={spatial_acc:.3f}")
+        # write incrementally: a timeout keeps completed rows
+        with open("runs/higgins_zoo.json", "w") as f:
+            json.dump(results, f, indent=2)
+    print("wrote runs/higgins_zoo.json")
+
+
+if __name__ == "__main__":
+    main()

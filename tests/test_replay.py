@@ -160,3 +160,54 @@ def test_measure_prediction_mse_forwards_split(tmp_path):
                            use_training_set=False, out_dir=str(tmp_path),
                            make_plots=False, key=jax.random.PRNGKey(1))
     assert seen["training"] is False
+
+
+def test_native_stitch_arena_incremental():
+    """The stitch arena is slotted and incremental: unchanged calls do no
+    copy work, and a new episode only touches its own slot — a whole-
+    buffer concat per collect() (hundreds of MB on live envs) dominated
+    the train loop (found live on gymnasium CarRacing)."""
+    ds = HostReplayDatasource(
+        FakeEnv, num_actions=3, num_rewards=2, channels=2, seed=0)
+    ds.buffer.test_holdout = -1.0  # deterministic: every episode -> train
+    ep = (np.zeros((8, 2, 4, 4), np.float32),
+          np.zeros((8, 2), np.float32), np.zeros((8,), np.int64))
+    for _ in range(5):
+        ds.buffer.add(ep)
+    out = ds._try_native_stitch(2, 6, True, True)
+    if out is None:
+        pytest.skip("native stitcher unavailable")
+    arena = ds._arena_cache[True]
+    frames0 = arena.frames
+    ds._try_native_stitch(2, 6, True, True)
+    assert ds._arena_cache[True] is arena  # cache hit: same arena object
+    assert arena.frames is frames0
+
+    ep2 = (np.full((6, 2, 4, 4), 0.5, np.float32),
+           np.ones((6, 2), np.float32), np.ones((6,), np.int64))
+    ds.buffer.add(ep2)  # appends slot 5; slots 0-4 untouched
+    ds._try_native_stitch(2, 6, True, True)
+    arena2 = ds._arena_cache[True]
+    assert arena2 is arena  # updated in place, not rebuilt
+    assert arena2.slot_versions == ds.buffer._train_slot_versions
+    for i, e in enumerate(ds.buffer._train):
+        row = i * arena2.stride
+        assert arena2.lengths[i] == len(e[0])
+        np.testing.assert_array_equal(
+            arena2.frames[row], np.asarray(e[0][0], np.float32))
+
+    # reservoir replacement: overwrite a slot, only that slot re-ingests
+    ds.buffer.capacity = len(ds.buffer._train)
+    ep3 = (np.full((7, 2, 4, 4), 0.25, np.float32),
+           np.zeros((7, 2), np.float32), np.zeros((7,), np.int64))
+    ds.buffer.add(ep3)
+    ds._try_native_stitch(2, 6, True, True)
+    arena3 = ds._arena_cache[True]
+    assert arena3 is arena
+    assert arena3.slot_versions == ds.buffer._train_slot_versions
+    replaced = [i for i, e in enumerate(ds.buffer._train) if len(e[0]) == 7]
+    assert len(replaced) == 1
+    row = replaced[0] * arena3.stride
+    np.testing.assert_array_equal(
+        arena3.frames[row:row + 7],
+        np.full((7, 2, 4, 4), 0.25, np.float32))
