@@ -41,6 +41,15 @@ def test_legacy_compat_wrapper_cartpole():
     env.close()
 
 
+def test_non_pixel_env_rejected():
+    """Vector-observation envs fail fast with a diagnosis, not a shape
+    error deep in the encoder."""
+    from scmgan_tpu.envs.host.gym_pixel import GymPixelDatasource
+
+    with pytest.raises(ValueError, match="pixel"):
+        GymPixelDatasource("CartPole-v1", seed=0)
+
+
 @pytest.fixture(scope="module")
 def carracing_ds():
     if not _carracing_available():
