@@ -40,11 +40,12 @@ def _measure_path(path: str) -> float:
     import jax
     import jax.numpy as jnp
 
-    try:
-        jax.config.update("jax_compilation_cache_dir", "/tmp/jax_bench_cache")
-        jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
-    except Exception:
-        pass
+    from scmgan_tpu.utils.compile_cache import setup_compile_cache
+
+    # bench programs get their own default cache dir so a driver-run bench
+    # never evicts the training cache mid-experiment
+    setup_compile_cache(default_dir="/tmp/jax_bench_cache",
+                        min_compile_secs=1.0)
 
     from scmgan_tpu.envs import get_env
     from scmgan_tpu.models import decode_fused, init_world_model, transition

@@ -97,8 +97,7 @@ def rollout_reward_table(
         int8_step = lambda zb, a: transition_int8_v2(qt, zb, a)
     exact_step = lambda zb, a: transition(params.transition, zb, a,
                                           train=False)
-    head_fn = exact_step if (int8_tail and not use_int8) else (
-        int8_step if use_int8 else exact_step)
+    head_fn = int8_step if use_int8 else exact_step
     tail_fn = int8_step if (use_int8 or int8_tail) else exact_step
 
     table = _action_table(num_actions, lookahead, rollout_depth,

@@ -144,6 +144,21 @@ def higgins_metric(simulator: Callable, true_latent_dim: int,
     return acc
 
 
+def make_encoder_fn(encoder_params):
+    """Standard encoder adapter for the Higgins protocols: tiles a
+    single-frame simulator render into the encoder's 3-frame window
+    (ENCODER_INPUT_FRAMES; reference models.py:19) and encodes."""
+    from scmgan_tpu.models import encode
+
+    def encoder_fn(images):
+        x = jnp.asarray(images)
+        if x.ndim == 4:
+            x = jnp.repeat(x[:, None], 3, axis=1)
+        return encode(encoder_params, x)
+
+    return encoder_fn
+
+
 def higgins_metric_conv(simulator, true_latent_dim, encoder_fn,
                         encoded_latent_dim, batch_size: int = 16,
                         train_iters: int = 100, seed: int = 0) -> float:

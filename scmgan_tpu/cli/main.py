@@ -132,13 +132,9 @@ def main(argv=None):
     args = build_parser().parse_args(argv)
     if args.platform:
         jax.config.update("jax_platforms", args.platform)
-    try:
-        jax.config.update(
-            "jax_compilation_cache_dir",
-            os.environ.get("SCMGAN_COMPILE_CACHE", "/tmp/jax_tpu_cache"))
-        jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
-    except Exception:
-        pass
+    from scmgan_tpu.utils.compile_cache import setup_compile_cache
+
+    setup_compile_cache()
     cfg = config_from_args(args)
     os.makedirs(cfg.out_dir, exist_ok=True)
 
@@ -149,7 +145,11 @@ def main(argv=None):
     from scmgan_tpu.train.trainer import init_train_state, train
     from scmgan_tpu.utils.timeseries import TimeSeries
 
-    datasource = allocate_datasource(cfg.env, seed=cfg.seed)
+    # Per-process seed offset: on a multi-host pod every process runs its
+    # own actor/emulator; identical seeds would make them play identical
+    # episode streams (duplicated data in the global batch).
+    datasource = allocate_datasource(
+        cfg.env, seed=cfg.seed + 1000003 * jax.process_index())
     key = jax.random.PRNGKey(cfg.seed)
     key, init_key = jax.random.split(key)
     state = init_train_state(cfg, datasource.spec, init_key)
@@ -195,19 +195,10 @@ def main(argv=None):
                 from scmgan_tpu.analysis.higgins import (
                     higgins_metric_conv,
                     higgins_metric_spatial,
+                    make_encoder_fn,
                 )
-                from scmgan_tpu.models import encode
 
-                def encoder_fn(images):
-                    import jax.numpy as jnp
-
-                    x = jnp.asarray(images)
-                    if x.ndim == 4:
-                        # single-frame simulators (pong family): tile the
-                        # static render into the encoder's 3-frame window
-                        x = jnp.repeat(x[:, None], 3, axis=1)
-                    return encode(state.params.encoder, x)
-
+                encoder_fn = make_encoder_fn(state.params.encoder)
                 higgins_metric_conv(
                     spec.simulator, spec.true_latent_dim, encoder_fn,
                     cfg.latent_dim, train_iters=args.higgins_iters)

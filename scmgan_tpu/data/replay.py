@@ -163,7 +163,11 @@ class HostActor:
         states, rewards, actions = [], [], []
         state = env.reset()
         for _ in range(self.warmup_steps):
-            state, _, _, _ = env.step(self.warmup_action)
+            state, _, warm_done, _ = env.step(self.warmup_action)
+            if warm_done:
+                # episode ended during warm-up: restart rather than step
+                # (and record) a terminated env across a reset boundary
+                state = env.reset()
         reward = np.zeros(self.num_rewards)
         done = False
         while True:
@@ -206,6 +210,11 @@ class _SlotArena:
         self.capacity = capacity
         self.stride = stride
         self.slot_versions: List[int] = []
+        # strong refs to the episodes last ingested per slot: keeps the
+        # id()-based fallback versions (below) stable — a replaced episode
+        # can't be gc'd and have its address reused by a new episode that
+        # would then alias the cached slot version
+        self.slot_refs: List = []
         self.n_slots = 0
         self.frames = np.zeros((0,) + tuple(frame_shape), np.float32)
         self.rewards = np.zeros((0, reward_dim), np.float32)
@@ -420,6 +429,7 @@ class HostReplayDatasource:
         for i, ep in changed:
             arena.set_slot(i, ep)
         arena.slot_versions = versions
+        arena.slot_refs = all_eps
         self._arena_cache[training] = arena
         n = len(versions)
         offsets = (np.arange(n, dtype=np.int64) * arena.stride)
@@ -438,9 +448,21 @@ class HostReplayDatasource:
         the trainer consumes NHWC, so the channel axis moves last here.
         ``training=False`` samples the 20% test holdout
         (reference main.py:791, envs/minipacman.py:112-119).
+
+        ``key`` (optional) reseeds the clip-sampling stream: the trainer
+        folds its per-process batch offset into it, so multi-host
+        processes draw distinct clips from their buffers.
         """
+        import jax
         import jax.numpy as jnp
 
+        if key is not None:
+            try:
+                bits = np.asarray(jax.random.key_data(key))
+            except Exception:  # legacy raw uint32 key arrays
+                bits = np.asarray(key)
+            self._rng = np.random.default_rng(
+                bits.ravel().astype(np.uint32).tolist())
         states, rewards, dones, actions = self.get_trajectories(
             batch_size, timesteps, training=training)
         obs = jnp.asarray(np.moveaxis(states, 2, -1), jnp.float32)

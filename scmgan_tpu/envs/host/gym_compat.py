@@ -37,16 +37,19 @@ class LegacyEnv:
 
 
 class _LegacyGymModule:
-    """Module-like facade: ``.make(...)`` always returns a legacy-API env."""
+    """Module-like facade: ``.make(...)`` always returns a legacy-API env.
 
-    def __init__(self, backend, needs_compat: bool):
+    Every env is wrapped: LegacyEnv adapts per call shape, so it is a
+    passthrough on true legacy backends and an adapter on new-API ones.
+    Deciding by package name instead would misread gym>=0.26, which ships
+    the gymnasium-style API under the legacy package name."""
+
+    def __init__(self, backend):
         self._backend = backend
-        self.needs_compat = needs_compat
         self.backend_name = backend.__name__
 
     def make(self, name: str, **kwargs):
-        env = self._backend.make(name, **kwargs)
-        return LegacyEnv(env) if self.needs_compat else env
+        return LegacyEnv(self._backend.make(name, **kwargs))
 
     def __getattr__(self, name):
         return getattr(self._backend, name)
@@ -54,18 +57,18 @@ class _LegacyGymModule:
 
 def import_gym() -> _LegacyGymModule:
     """Return a gym-like module, preferring legacy ``gym``, falling back to
-    ``gymnasium`` wrapped behind the legacy API.  Raises ImportError when
-    neither backend exists."""
+    ``gymnasium``, either way wrapped behind the legacy API.  Raises
+    ImportError when neither backend exists."""
     try:
         import gym
 
-        return _LegacyGymModule(gym, needs_compat=False)
+        return _LegacyGymModule(gym)
     except Exception:
         pass
     try:
         import gymnasium
 
-        return _LegacyGymModule(gymnasium, needs_compat=True)
+        return _LegacyGymModule(gymnasium)
     except Exception as e:
         raise ImportError(
             f"neither gym nor gymnasium is available in this image ({e!r})"

@@ -41,6 +41,7 @@ SCREEN_SIZE = 64
 ZERGLING_NOOP_ACTION = 4       # reference envs/sc2_zergling_defense.py:19
 ZERGLING_NOOP_PROB = 0.9       # sc2_zergling_defense.py:52-55
 ZERGLING_MAX_TRAJECTORY = 20   # sc2_zergling_defense.py:15
+ZERGLING_NUM_REWARDS = 4       # sc2_zergling_defense.py:84 info-dict values
 MICRO_BATTLE_REPLAY_FACTOR = 8   # sc2_micro_battle.py:10
 MICRO_BATTLE_BUFFER_LEN = 500    # sc2_micro_battle.py:11
 MICRO_BATTLE_MAX_TRAJECTORY = 100  # sc2_micro_battle.py:12
@@ -141,7 +142,14 @@ def zergling_convert_frame(state):
 def zergling_split_reward(reward_sum, info):
     """The 4 reward channels are the values of the step's info dict
     (reference envs/sc2_zergling_defense.py:84)."""
-    return np.asarray(list(info.values()), np.float32)
+    vec = np.asarray(list(info.values()), np.float32)
+    if vec.shape != (ZERGLING_NUM_REWARDS,):
+        # fail loud: an extra diagnostic key (or nested value) would
+        # otherwise produce ragged reward rows deep in the stitcher
+        raise ValueError(
+            f"zergling info dict yields reward vector of shape {vec.shape}, "
+            f"expected ({ZERGLING_NUM_REWARDS},); keys={list(info)}")
+    return vec
 
 
 def micro_battle_convert_frame(state):

@@ -167,8 +167,6 @@ def calibrate_transition(params: dict, z_samples: jax.Array,
     }
 
     latent = z_samples.shape[-1]
-    hid = act_scale["conv2"].shape[0]
-
     def in_scales(name):
         """Per-input-channel scale vector for each conv's input."""
         if name == "conv1":
@@ -247,6 +245,26 @@ def _qepilogue(qt: QuantizedTransition, name: str, acc: jax.Array,
     return jnp.clip(q, -127, 127).astype(jnp.int8)
 
 
+def _action_bias(qt: QuantizedTransition, action_onehot: jax.Array,
+                 latent: int) -> jax.Array:
+    """conv1's action half folded to a rank-1 per-sample int32 bias.
+
+    The one-hot action map is spatially constant, so its conv contribution
+    is ``sum_{k,l} W1[k,l,action,:]`` — one (B, A) x (A, C_out) int32
+    matmul instead of materializing the (B, H, W, A) broadcast map.
+    Shared by every int8 transition variant; keep the arithmetic here so
+    the 'bit-identical family' claim stays one definition."""
+    w1 = qt.weights["conv1"]
+    w1a_sum = jnp.sum(w1[:, :, latent:, :].astype(jnp.int32), axis=(0, 1))
+    return lax.dot(action_onehot.astype(jnp.int32), w1a_sum,
+                   preferred_element_type=jnp.int32)
+
+
+def _wrap_pad1(x: jax.Array) -> jax.Array:
+    """1-pixel circular pad of the two spatial dims (torus topology)."""
+    return jnp.pad(x, ((0, 0), (1, 1), (1, 1), (0, 0)), mode="wrap")
+
+
 def _vconv(x_i8: jax.Array, w_i8: jax.Array, pad: int = 0) -> jax.Array:
     """VALID int8 conv; negative ``pad`` crops the input inside the conv
     config (free — no materialized slice)."""
@@ -292,10 +310,7 @@ def transition_int8_halo(qt: QuantizedTransition, z: jax.Array,
                  mode="wrap")
 
     w1 = qt.weights["conv1"]
-    # Per-sample action bias: exact int32 contribution of the one-hot map.
-    w1a_sum = jnp.sum(w1[:, :, latent:, :].astype(jnp.int32), axis=(0, 1))
-    a_bias = lax.dot(action_onehot.astype(jnp.int32), w1a_sum,
-                     preferred_element_type=jnp.int32)
+    a_bias = _action_bias(qt, action_onehot, latent)
 
     def epi(name, acc, **kw):
         return _qepilogue(qt, name, acc, epilogue_dtype=ep, **kw)
@@ -344,13 +359,10 @@ def transition_int8_split(qt: QuantizedTransition, z: jax.Array,
     b, h, w, latent = z.shape
     ep = epilogue_dtype
 
-    def wpad(x):
-        return jnp.pad(x, ((0, 0), (1, 1), (1, 1), (0, 0)), mode="wrap")
+    wpad = _wrap_pad1
 
     w1 = qt.weights["conv1"]
-    w1a_sum = jnp.sum(w1[:, :, latent:, :].astype(jnp.int32), axis=(0, 1))
-    a_bias = lax.dot(action_onehot.astype(jnp.int32), w1a_sum,
-                     preferred_element_type=jnp.int32)
+    a_bias = _action_bias(qt, action_onehot, latent)
 
     def epi(name, acc, **kw):
         return _qepilogue(qt, name, acc, epilogue_dtype=ep, **kw)
@@ -514,9 +526,7 @@ def transition_int8_ring(qt: QuantizedTransition, z: jax.Array,
     ep = epilogue_dtype
 
     w1 = qt.weights["conv1"]
-    w1a_sum = jnp.sum(w1[:, :, latent:, :].astype(jnp.int32), axis=(0, 1))
-    a_bias = lax.dot(action_onehot.astype(jnp.int32), w1a_sum,
-                     preferred_element_type=jnp.int32)
+    a_bias = _action_bias(qt, action_onehot, latent)
 
     def rc(name, t, w_i8=None, **kw):
         return _ring_qconv(qt, name, t, w_i8, epilogue_dtype=ep, **kw)
@@ -558,12 +568,9 @@ def transition_int8_v2(qt: QuantizedTransition, z: jax.Array,
     ep = epilogue_dtype
 
     w1 = qt.weights["conv1"]
-    w1a_sum = jnp.sum(w1[:, :, latent:, :].astype(jnp.int32), axis=(0, 1))
-    a_bias = lax.dot(action_onehot.astype(jnp.int32), w1a_sum,
-                     preferred_element_type=jnp.int32)
+    a_bias = _action_bias(qt, action_onehot, latent)
 
-    def wpad(x):
-        return jnp.pad(x, ((0, 0), (1, 1), (1, 1), (0, 0)), mode="wrap")
+    wpad = _wrap_pad1
 
     def conv(name, x_pad, w_i8=None):
         return lax.conv_general_dilated(

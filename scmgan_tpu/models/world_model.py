@@ -276,17 +276,20 @@ def predict_reward(params: dict, z: jax.Array, visualize: bool = False):
 # Discriminator
 # --------------------------------------------------------------------------
 
-def init_discriminator(key, img_size: int = 64, dtype=jnp.float32) -> dict:
+def init_discriminator(key, img_size=64, dtype=jnp.float32) -> dict:
+    """``img_size``: int (square) or (height, width) — centipede frames are
+    96x64, so fc1 must be sized from both spatial dims."""
     ks = jax.random.split(key, 4)
+    h, w = (img_size, img_size) if isinstance(img_size, int) else img_size
     # Spatial sizes after three stride-2 VALID 3x3 convs from 64: 31, 15, 7.
-    s = img_size
     for _ in range(3):
-        s = (s - 3) // 2 + 1
+        h = (h - 3) // 2 + 1
+        w = (w - 3) // 2 + 1
     return {
         "conv1": _sn_conv_init(ks[0], NOISE_DIM, 32, 3, dtype),
         "conv2": _sn_conv_init(ks[1], 32, 32, 3, dtype),
         "conv3": conv2d_init(ks[2], 32, 32, 3, dtype),
-        "fc1": linear_init(ks[3], 32 * s * s, 1, dtype),
+        "fc1": linear_init(ks[3], 32 * h * w, 1, dtype),
     }
 
 
@@ -312,7 +315,7 @@ def init_world_model(
     input_channels: int,
     output_channels: int,
     hidden: int = 128,
-    img_size: int = 64,
+    img_size=64,  # int (square) or (height, width)
     dtype=jnp.float32,
 ) -> WorldModel:
     ks = jax.random.split(key, 5)

@@ -80,7 +80,7 @@ def init_train_state(cfg: Config, spec, key: jax.Array) -> TrainState:
         spec.channels,
         spec.channels,
         hidden=cfg.hidden_dim,
-        img_size=spec.height,
+        img_size=(spec.height, spec.width),
         dtype=cfg.pdtype,
     )
     opt = make_optimizer(cfg)

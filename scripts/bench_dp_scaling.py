@@ -31,7 +31,11 @@ if "host_platform_device_count" not in os.environ["XLA_FLAGS"]:
 import jax
 
 jax.config.update("jax_platforms", "cpu")
-jax.config.update("jax_compilation_cache_dir", "/root/repo/.jax_cache")
+
+from scmgan_tpu.utils.compile_cache import setup_compile_cache
+
+# CPU-mesh programs live in their own cache: they'd evict/pollute the TPU one
+setup_compile_cache(default_dir="/root/repo/.jax_cache")
 
 import jax.numpy as jnp
 

@@ -24,11 +24,9 @@ sys.path.insert(0, os.path.join(os.path.dirname(__file__), ".."))
 
 import jax
 
-try:
-    jax.config.update("jax_compilation_cache_dir", "/tmp/jax_tpu_cache")
-    jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
-except Exception:
-    pass
+from scmgan_tpu.utils.compile_cache import setup_compile_cache
+
+setup_compile_cache()
 
 DEFAULT_ENVS = "pong,minipong,minipacman,gridworld,gameoflife,boxes,roomba1"
 

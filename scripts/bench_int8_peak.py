@@ -32,11 +32,9 @@ import jax
 import jax.numpy as jnp
 from jax import lax
 
-try:
-    jax.config.update("jax_compilation_cache_dir", "/tmp/jax_tpu_cache")
-    jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
-except Exception:
-    pass
+from scmgan_tpu.utils.compile_cache import setup_compile_cache
+
+setup_compile_cache()
 
 DN = ("NHWC", "HWIO", "NHWC")
 STEPS = 300

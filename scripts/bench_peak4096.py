@@ -8,11 +8,9 @@ import json, os, sys, time
 sys.path.insert(0, os.path.join(os.path.dirname(__file__), ".."))
 import jax, jax.numpy as jnp
 from jax import lax
-try:
-    jax.config.update("jax_compilation_cache_dir", "/tmp/jax_tpu_cache")
-    jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
-except Exception:
-    pass
+from scmgan_tpu.utils.compile_cache import setup_compile_cache
+
+setup_compile_cache()
 
 N, L = 4096, 300
 flops = 2.0 * N * N * N

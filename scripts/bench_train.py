@@ -23,10 +23,9 @@ sys.path.insert(0, os.path.join(os.path.dirname(__file__), ".."))
 import jax
 import jax.numpy as jnp
 
-try:
-    jax.config.update("jax_compilation_cache_dir", "/tmp/jax_tpu_cache")
-except Exception:
-    pass
+from scmgan_tpu.utils.compile_cache import setup_compile_cache
+
+setup_compile_cache()
 
 
 def main():

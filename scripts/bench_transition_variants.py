@@ -26,11 +26,9 @@ def _measure(variant: str) -> None:
     import jax
     import jax.numpy as jnp
 
-    try:
-        jax.config.update("jax_compilation_cache_dir", "/tmp/jax_tpu_cache")
-        jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
-    except Exception:
-        pass
+    from scmgan_tpu.utils.compile_cache import setup_compile_cache
+
+    setup_compile_cache()
 
     from scmgan_tpu.envs import get_env
     from scmgan_tpu.models import decode_fused as decode, init_world_model, transition

@@ -21,21 +21,19 @@ sys.path.insert(0, os.path.join(os.path.dirname(__file__), ".."))
 
 import jax
 
-# Persistent compile cache: a fresh process otherwise recompiles every
-# program over the axon tunnel (~5 min each) — the sweep is compile-bound.
-jax.config.update("jax_compilation_cache_dir",
-                  os.environ.get("SCMGAN_COMPILE_CACHE", "/tmp/jax_tpu_cache"))
-jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.5)
+from scmgan_tpu.utils.compile_cache import setup_compile_cache
 
-import jax.numpy as jnp
+# A fresh process otherwise recompiles every program over the axon
+# tunnel (~5 min each) — the sweep is compile-bound.
+setup_compile_cache()
 
 from scmgan_tpu.analysis.higgins import (
     higgins_metric_conv,
     higgins_metric_spatial,
+    make_encoder_fn,
 )
 from scmgan_tpu.config import Config
 from scmgan_tpu.envs import get_env
-from scmgan_tpu.models import encode
 from scmgan_tpu.train import checkpoint as ckpt
 from scmgan_tpu.train.trainer import init_train_state
 
@@ -51,17 +49,6 @@ ZOO = [
     ("pong", "runs/grid_bptt_det"),
     ("pong", "runs/grid_cf_det"),
 ]
-
-
-def encoder_for(params):
-    def encoder_fn(images):
-        x = jnp.asarray(images)
-        if x.ndim == 4:
-            # single-frame simulators: tile into the 3-frame window
-            x = jnp.repeat(x[:, None], 3, axis=1)
-        return encode(params.encoder, x)
-
-    return encoder_fn
 
 
 def main():
@@ -84,7 +71,7 @@ def main():
         cfg = Config(env=env_name)
         state = init_train_state(cfg, spec, jax.random.PRNGKey(0))
         state = ckpt.load_train_state(run_dir, state)
-        enc = encoder_for(state.params)
+        enc = make_encoder_fn(state.params.encoder)
         conv_acc = higgins_metric_conv(
             spec.simulator, spec.true_latent_dim, enc, cfg.latent_dim,
             train_iters=200)

@@ -211,3 +211,40 @@ def test_native_stitch_arena_incremental():
     np.testing.assert_array_equal(
         arena3.frames[row:row + 7],
         np.full((7, 2, 4, 4), 0.25, np.float32))
+
+
+def test_collect_key_drives_clip_sampling():
+    """collect(key=...) must decorrelate the clip-sampling stream: the
+    multi-host trainer folds its per-process batch offset into the key, so
+    two processes with identical buffers draw distinct clips (and the same
+    key reproduces the same batch)."""
+    def build():
+        ds = HostReplayDatasource(
+            FakeEnv, num_actions=3, num_rewards=2, channels=2, seed=0)
+        ds.buffer.test_holdout = -1.0
+        for i in range(6):
+            frames = np.arange(10, dtype=np.float32).reshape(10, 1, 1, 1)
+            frames = np.broadcast_to(frames + 100 * i, (10, 2, 4, 4)).copy()
+            ds.buffer.add((frames, np.zeros((10, 2), np.float32),
+                           np.zeros((10,), np.int64)))
+        return ds
+
+    k0, k1 = jax.random.PRNGKey(7), jax.random.PRNGKey(8)
+    b_a = np.asarray(build().collect(4, 5, key=k0)[0])
+    b_same = np.asarray(build().collect(4, 5, key=k0)[0])
+    b_diff = np.asarray(build().collect(4, 5, key=k1)[0])
+    np.testing.assert_array_equal(b_a, b_same)
+    assert not np.array_equal(b_a, b_diff)
+
+
+def test_warmup_resets_on_early_termination():
+    """Warm-up no-ops must not step (and then record) a terminated env
+    across a reset boundary; the episode restarts instead."""
+    buf = ReplayBuffer(capacity=4, test_holdout=-1.0, seed=0)
+    actor = HostActor(lambda: FakeEnv(episode_len=2), buf, num_rewards=1,
+                      warmup_steps=3, max_trajectory_len=5)
+    actor.play_episodes(1)
+    frames, _, _ = buf._train[0]
+    # FakeEnv frames carry their step index: warm-up hits done at t=2,
+    # resets, takes one more warm-up step -> recording starts at t=1
+    assert frames[0].max() == 1.0
