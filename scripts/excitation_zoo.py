@@ -7,7 +7,7 @@ a reversed video of what caused the reward.  This script produces that
 artifact for the trained checkpoints in runs/ — the interpretability
 counterpart to the causal-graph PNGs already recorded there.
 
-Usage:  python scripts/excitation_zoo.py [env:run_dir ...]
+Usage:  SCMGAN_PLATFORM=cpu python scripts/excitation_zoo.py [env:run_dir ...]
 Writes  runs/<name>/eval/excitation_bptt_*.mp4 and prints a summary line.
 """
 
@@ -18,6 +18,11 @@ import sys
 sys.path.insert(0, os.path.join(os.path.dirname(__file__), ".."))
 
 import jax
+
+if os.environ.get("SCMGAN_PLATFORM"):
+    # JAX_PLATFORMS is too late on this image (sitecustomize registers the
+    # axon TPU plugin first); the config update before first device use wins.
+    jax.config.update("jax_platforms", os.environ["SCMGAN_PLATFORM"])
 
 from scmgan_tpu.utils.compile_cache import setup_compile_cache
 
