@@ -11,6 +11,13 @@ pathological compile can never hang the benchmark):
   * int8 serving path (models/quantized.py transition_int8_v2 — wrap-pad
     convs + rank-1 action bias + sign-threshold head, int8 scan carry,
     decode_fused): bit-identical latents to the reference int8 path
+  * student int8 path: a distilled narrower transition
+    (train/distill.py) in the same latent space, teacher
+    encoder/decoder/reward verbatim.  Admitted ONLY when a recorded
+    fidelity gate passes: runs/*student*/fidelity.json must show the
+    reference MSE protocol at t+10 within 1% of the teacher
+    (BASELINE.md's north-star bundles throughput WITH that clause).
+    Throughput is measured with the actual distilled weights.
 
 Target (BASELINE.md): >= 50,000 predicted 64x64 frames/sec/chip on v5e.
 
@@ -35,6 +42,26 @@ BASELINE_FPS = 50_000.0
 PATH_TIMEOUT_S = int(os.environ.get("BENCH_PATH_TIMEOUT", "900"))
 
 
+def _validated_student():
+    """Smallest (fastest) distilled student whose recorded fidelity gate
+    passes: (hidden, transition_npz, fidelity_record) or None."""
+    import glob
+
+    best = None
+    for fid_path in glob.glob("runs/*student*/fidelity.json"):
+        try:
+            with open(fid_path) as f:
+                fid = json.load(f)
+            npz = os.path.join(os.path.dirname(fid_path),
+                               "model-transition.npz")
+            if fid.get("within_1pct") and os.path.exists(npz):
+                if best is None or fid["hidden"] < best[0]:
+                    best = (int(fid["hidden"]), npz, fid)
+        except Exception:
+            continue
+    return best
+
+
 def _measure_path(path: str) -> float:
     """Runs inside the per-path subprocess; prints frames/sec."""
     import jax
@@ -50,7 +77,13 @@ def _measure_path(path: str) -> float:
     from scmgan_tpu.envs import get_env
     from scmgan_tpu.models import decode_fused, init_world_model, transition
 
-    spec = get_env("pong")  # 64x64x3 frames, 4 actions — flagship scale
+    if path == "student_int8":
+        student = _validated_student()
+        if student is None:
+            raise SystemExit("no validated student")
+        spec = get_env(student[2]["env"])
+    else:
+        spec = get_env("pong")  # 64x64x3 frames, 4 actions — flagship scale
     latent, batch, steps = 16, 256, 64
     cdt = jnp.bfloat16
 
@@ -76,13 +109,22 @@ def _measure_path(path: str) -> float:
 
             _, s = jax.lax.scan(step, z0, actions)
             return jnp.sum(s)
-    elif path == "int8":
+    elif path in ("int8", "student_int8"):
         from scmgan_tpu.models.quantized import (
             quantize_transition,
             transition_int8_v2,
         )
 
-        qt = quantize_transition(params.transition)
+        if path == "student_int8":
+            from scmgan_tpu.models.world_model import init_transition
+            from scmgan_tpu.train.checkpoint import load_pytree
+
+            hidden, npz, _fid = student
+            tmpl = init_transition(key, latent, spec.num_actions,
+                                   hidden=hidden)
+            qt = quantize_transition(load_pytree(npz, tmpl))
+        else:
+            qt = quantize_transition(params.transition)
         tfn = transition_int8_v2
         z0 = z0.astype(jnp.int8)  # carry latents as int8 end to end
 
@@ -109,9 +151,21 @@ def _measure_path(path: str) -> float:
     print(json.dumps({"fps": batch * steps / best}))
 
 
+def _transition_gflops(hidden: int, latent: int = 16, num_actions: int = 5,
+                       hw: int = 64) -> float:
+    """Exact MAC-based FLOPs of one transition step per frame (six 3x3
+    circular convs; skip concats double conv5/conv6 input channels)."""
+    h = hidden
+    per_pixel = 9 * (h * (latent + num_actions) + 3 * h * h
+                     + 2 * h * h + 2 * h * latent)
+    return 2.0 * hw * hw * per_pixel / 1e9
+
+
 def main():
+    student = _validated_student()
+    paths = ["bf16", "int8"] + (["student_int8"] if student else [])
     results = {}
-    for path in ("bf16", "int8"):
+    for path in paths:
         try:
             out = subprocess.run(
                 [sys.executable, os.path.abspath(__file__), "--path", path],
@@ -127,23 +181,37 @@ def main():
                           "unit": "frames/sec", "vs_baseline": 0,
                           "error": "no path completed"}))
         return
-    fps = max(results.values())
-    # Roofline context (BENCH_NOTES round-2 ceiling study): the model costs
-    # 6.62 GFLOP/frame (transition 6.53 + fused decoder 0.09); this chip's
-    # best measured int8 throughput is 284 TOPS on clean 4096^3 GEMMs
-    # (72% of the 394 spec; scripts/bench_peak4096.py), so the per-chip
-    # speed-of-light for this workload is ~42k frames/s even at 100% GEMM
-    # peak with zero non-conv overhead.
-    flops_per_frame = 6.62e9
-    print(json.dumps({
+    best_path = max(results, key=results.get)
+    fps = results[best_path]
+    # Roofline context (BENCH_NOTES round-2 ceiling study): the flagship
+    # model costs 6.62 GFLOP/frame (transition 6.53 + fused decoder 0.09);
+    # this chip's best measured int8 throughput is 284 TOPS on clean
+    # 4096^3 GEMMs (72% of the 394 spec; scripts/bench_peak4096.py), so
+    # the flagship per-chip speed-of-light is ~42k frames/s — the
+    # fidelity-gated student path (fewer operations, same latent space,
+    # recorded MSE@t+10 within 1%) is how the 50k target is reachable.
+    hidden = student[0] if (student and best_path == "student_int8") else 128
+    flops_per_frame = (_transition_gflops(hidden) + 0.09) * 1e9
+    out = {
         "metric": "predicted_frames_per_sec",
         "value": round(fps, 1),
         "unit": "frames/sec",
         "vs_baseline": round(fps / BASELINE_FPS, 4),
         "paths": {k: round(v, 1) for k, v in results.items()},
+        "best_path": best_path,
         "effective_tops": round(fps * flops_per_frame / 1e12, 1),
         "chip_int8_gemm_peak_tops": 284.4,
-    }))
+    }
+    if student:
+        out["student"] = {
+            "hidden": student[0],
+            "env": student[2].get("env"),
+            "mse10_delta_pct": round(
+                float(student[2]["mse10_delta_pct"]), 3),
+            "fidelity": os.path.join(
+                os.path.dirname(student[1]), "fidelity.json"),
+        }
+    print(json.dumps(out))
 
 
 if __name__ == "__main__":

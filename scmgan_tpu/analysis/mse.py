@@ -36,19 +36,29 @@ from scmgan_tpu.models.world_model import (
 from scmgan_tpu.utils.timeseries import sparkline
 
 
-@partial(jax.jit, static_argnames=("num_actions",))
-def _free_run_stats(params: WorldModel, batch, num_actions: int):
+@partial(jax.jit, static_argnames=("num_actions", "transition_fn"))
+def _free_run_stats(params: WorldModel, batch, num_actions: int,
+                    transition_fn=None):
     """scan the free-run; returns per-step (pixel mse, pixel std, reward
-    mse, reward std, active count) for t = 2..T-1."""
+    mse, reward std, active count) for t = 2..T-1.
+
+    ``transition_fn``: optional ``(z, action_onehot) -> z`` override of the
+    exact eval-mode transition — lets alternate serving engines (int8,
+    distilled students) be scored under the unchanged reference protocol.
+    Must return float latents (decoder/reward nets consume them)."""
     obs, rewards, dones, actions = batch
     b, t_total = obs.shape[0], obs.shape[1]
     f32 = jnp.float32
     actions_oh = jax.nn.one_hot(actions, num_actions, dtype=obs.dtype)
 
+    if transition_fn is None:
+        transition_fn = lambda z, a: transition(
+            params.transition, z, a, train=False)
+
     # Begin at state t=2: encode frames 0..2, advance once with action[1]
     # (reference main.py:796-799).
     z = encode(params.encoder, obs[:, :3])
-    z = transition(params.transition, z, actions_oh[:, 1], train=False)
+    z = transition_fn(z, actions_oh[:, 1])
 
     obs_tm = jnp.swapaxes(obs, 0, 1)
     rew_tm = jnp.swapaxes(rewards.astype(f32), 0, 1)
@@ -80,7 +90,7 @@ def _free_run_stats(params: WorldModel, batch, num_actions: int):
         r_diffs = active * (r_expected - r_predicted) ** 2
         r_mean, r_std = masked_stats(r_diffs, active)
 
-        z = transition(params.transition, z, act_tm[t], train=False)
+        z = transition_fn(z, act_tm[t])
         z = jax.lax.stop_gradient(z)
         return (z, active), (mse_mean, mse_std, r_mean, r_std, jnp.sum(active))
 
@@ -99,9 +109,12 @@ def measure_prediction_mse(
     out_dir: str = ".",
     make_plots: bool = True,
     key: Optional[jax.Array] = None,
+    transition_fn=None,
 ):
     """Returns (mse_losses, mse_stddevs, reward_losses, reward_stddevs) as
-    python lists, after writing the reference's JSON/PNG artifacts."""
+    python lists, after writing the reference's JSON/PNG artifacts.
+    ``transition_fn`` optionally swaps the serving engine under the same
+    protocol (see _free_run_stats)."""
     # training=use_training_set matches the reference's split selection
     # (main.py:791): --evaluate mode passes True (train split), the periodic
     # in-training eval leaves the default False (held-out test split).
@@ -109,7 +122,9 @@ def measure_prediction_mse(
                                training=use_training_set)
     mse_m, mse_s, rew_m, rew_s, n_active = (
         np.asarray(x)
-        for x in _free_run_stats(params, batch, datasource.binary_input_channels)
+        for x in _free_run_stats(params, batch,
+                                 datasource.binary_input_channels,
+                                 transition_fn=transition_fn)
     )
     # reference breaks at the first step where every trajectory is done
     # (main.py:809-812); active counts are monotone non-increasing.

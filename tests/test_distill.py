@@ -1,0 +1,69 @@
+"""Serving-student distillation (scmgan_tpu/train/distill.py)."""
+
+import jax
+import jax.numpy as jnp
+import optax
+import pytest
+
+from scmgan_tpu.data.datasource import allocate_datasource
+from scmgan_tpu.models.world_model import init_transition, init_world_model
+from scmgan_tpu.train.distill import make_distill_step, measure_fidelity
+
+
+@pytest.fixture(scope="module")
+def setup():
+    ds = allocate_datasource("gridworld", seed=0)
+    spec = ds.spec
+    teacher = init_world_model(
+        jax.random.PRNGKey(0), 16, spec.num_actions, spec.num_rewards,
+        spec.channels, spec.channels, hidden=32,
+        img_size=(spec.height, spec.width))
+    return ds, spec, teacher
+
+
+def test_distill_step_learns(setup):
+    """A few steps against a fixed (random-init) teacher must reduce the
+    imitation BCE and keep shapes/dtypes stable."""
+    _, spec, teacher = setup
+    student = init_transition(jax.random.PRNGKey(1), 16, spec.num_actions,
+                              hidden=16)
+    tx = optax.chain(optax.clip(0.1), optax.adam(1e-3))
+    opt_state = tx.init(student)
+    step = make_distill_step(spec, teacher, tx, batch_size=4, rollout_len=4)
+
+    key = jax.random.PRNGKey(2)
+    losses = []
+    for i in range(8):
+        key, k = jax.random.split(key)
+        student, opt_state, loss, bits = step(student, opt_state, k)
+        losses.append(float(loss))
+    assert losses[-1] < losses[0]
+    assert 0.0 <= float(bits) <= 1.0
+    # SN state stayed finite through the power-iteration refresh
+    assert all(
+        bool(jnp.all(jnp.isfinite(leaf))) for leaf in jax.tree.leaves(student)
+    )
+
+
+def test_measure_fidelity_gate(setup, tmp_path):
+    """The teacher against itself is a perfect student: deltas 0, gate
+    open; a random student must report larger error than the teacher."""
+    ds, spec, teacher = setup
+    fid = measure_fidelity(
+        teacher, teacher.transition, ds, str(tmp_path / "self"),
+        eval_batch_size=8, eval_timesteps=14, horizons=(3, 5, 10),
+        include_int8=False)
+    assert fid["within_1pct"]
+    assert abs(fid["mse10_delta_pct"]) < 1e-6
+
+    rand = init_transition(jax.random.PRNGKey(9), 16, spec.num_actions,
+                           hidden=16)
+    # include_int8: the gate must be scored on the calibrated-int8 engine
+    # (what actually serves), recorded as int8_delta_pct
+    fid_r = measure_fidelity(
+        teacher, rand, ds, str(tmp_path / "rand"),
+        eval_batch_size=8, eval_timesteps=14, horizons=(3, 5, 10))
+    assert set(fid_r["delta_pct"]) == {3, 5, 10}
+    assert set(fid_r["int8_delta_pct"]) == {3, 5, 10}
+    assert fid_r["mse10_delta_pct"] is None or isinstance(
+        fid_r["mse10_delta_pct"], float)
