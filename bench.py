@@ -44,7 +44,11 @@ PATH_TIMEOUT_S = int(os.environ.get("BENCH_PATH_TIMEOUT", "900"))
 
 def _validated_student():
     """Smallest (fastest) distilled student whose recorded fidelity gate
-    passes: (hidden, transition_npz, fidelity_record) or None."""
+    passes: (hidden, transition_npz, fidelity_record) or None.
+
+    Only minipacman students count: the north-star metric is defined on
+    64x64 MiniPacman rollouts (BASELINE.md) — a student for a smaller env
+    would inflate frames/s with cheaper frames."""
     import glob
 
     best = None
@@ -54,7 +58,8 @@ def _validated_student():
                 fid = json.load(f)
             npz = os.path.join(os.path.dirname(fid_path),
                                "model-transition.npz")
-            if fid.get("within_1pct") and os.path.exists(npz):
+            if (fid.get("within_1pct") and fid.get("env") == "minipacman"
+                    and os.path.exists(npz)):
                 if best is None or fid["hidden"] < best[0]:
                     best = (int(fid["hidden"]), npz, fid)
         except Exception:

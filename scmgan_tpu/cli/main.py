@@ -232,6 +232,9 @@ def main(argv=None):
               checkpoint_fn=checkpoint_fn, log_fn=log_fn, key=key)
         print(ts)
         print("Finished")
+    close = getattr(datasource, "close", None)
+    if close:
+        close()  # stop host-env actor threads before interpreter teardown
     print("Finished execution, terminating")
 
 

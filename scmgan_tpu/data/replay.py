@@ -118,6 +118,7 @@ class HostActor:
         self._thread: Optional[threading.Thread] = None
         self._env = None
         self.error: Optional[BaseException] = None
+        self._stop = threading.Event()
 
     def start(self):
         self._thread = threading.Thread(target=self._run, daemon=True)
@@ -125,6 +126,23 @@ class HostActor:
 
     def is_alive(self) -> bool:
         return self._thread is not None and self._thread.is_alive()
+
+    def stop(self, timeout: float = 10.0):
+        """Graceful shutdown: abandon the in-flight episode, join the
+        thread, close the emulator.  (The reference leaks its daemon
+        actors at exit, envs/minipacman.py:56 — that's what spams
+        tracebacks when the emulator's renderer is torn down first.)"""
+        self._stop.set()
+        if self._thread is not None and self._thread.is_alive():
+            self._thread.join(timeout)
+        env, self._env = self._env, None
+        if env is not None:
+            try:
+                close = getattr(env, "close", None)
+                if close:
+                    close()
+            except Exception:
+                pass
 
     def play_episodes(self, n: int):
         """Synchronously play ``n`` episodes into the buffer, creating and
@@ -146,7 +164,7 @@ class HostActor:
 
     def _run(self):
         try:
-            while True:
+            while not self._stop.is_set():
                 self.play_episodes(1)
                 if self.episode_sleep:
                     time.sleep(self.episode_sleep)
@@ -171,6 +189,8 @@ class HostActor:
         reward = np.zeros(self.num_rewards)
         done = False
         while True:
+            if self._stop.is_set():
+                return  # shutdown: drop the partial episode
             if self.policy is not None:
                 action = self.policy(state)
             else:
@@ -317,6 +337,12 @@ class HostReplayDatasource:
         if not self.actor.is_alive():
             raise RuntimeError(
                 f"Simulator thread crashed: {self.actor.error!r}")
+
+    def close(self):
+        """Stop the background actor and close its emulator (idempotent)."""
+        if self._started:
+            self.actor.stop()
+            self._started = False
 
     def make_env(self, *args, **kwargs):
         return self._make_env(*args, **kwargs)

@@ -56,9 +56,13 @@ def carracing_ds():
         pytest.skip("CarRacing-v3 unavailable (Box2D missing?)")
     from scmgan_tpu.envs.host.gym_pixel import GymPixelDatasource
 
-    return GymPixelDatasource("CarRacing-v3", seed=0,
-                              max_trajectory_len=24, capacity=8,
-                              min_buffer_len=1)
+    ds = GymPixelDatasource("CarRacing-v3", seed=0,
+                            max_trajectory_len=24, capacity=8,
+                            min_buffer_len=1)
+    yield ds
+    # stop the actor thread before pygame is torn down at interpreter
+    # exit (otherwise the thread dies rendering and spams a traceback)
+    ds.close()
 
 
 def test_live_pixel_datasource_contract(carracing_ds):

@@ -248,3 +248,19 @@ def test_warmup_resets_on_early_termination():
     # FakeEnv frames carry their step index: warm-up hits done at t=2,
     # resets, takes one more warm-up step -> recording starts at t=1
     assert frames[0].max() == 1.0
+
+
+def test_actor_stop_joins_and_closes():
+    """close()/stop() must join the daemon thread and close the emulator —
+    no in-flight episode left stepping a torn-down backend."""
+    ds = HostReplayDatasource(
+        lambda: FakeEnv(episode_len=1000), num_actions=3, num_rewards=1,
+        channels=2, min_buffer_len=1, max_trajectory_len=1000, seed=0)
+    ds.buffer.test_holdout = -1.0
+    ds._ensure_started()
+    time.sleep(0.2)  # let it get mid-episode
+    env = ds.actor._env
+    ds.close()
+    assert not ds.actor.is_alive()
+    assert env is not None and env.closed
+    ds.close()  # idempotent
