@@ -80,6 +80,11 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("--mpc-int8", action="store_true",
                    help="Route the MPC planning beam through the int8 "
                         "serving transition (~2.2x faster)")
+    p.add_argument("--student", type=str, default=None,
+                   help="Directory of a distilled serving transition "
+                        "(scripts/distill_student.py output): swaps it in "
+                        "for evaluate/play.  Refuses if its recorded "
+                        "fidelity gate (within 1% MSE@t+10) failed.")
     return p
 
 
@@ -159,6 +164,29 @@ def main(argv=None):
     else:
         print(f"Loading models from directory {cfg.load_from}")
         state = ckpt.load_train_state(cfg.load_from, state)
+
+    if args.student:
+        import json as _json
+
+        from scmgan_tpu.models.world_model import init_transition
+
+        with open(os.path.join(args.student, "fidelity.json")) as f:
+            fid = _json.load(f)
+        if not fid.get("within_1pct"):
+            raise SystemExit(
+                f"--student {args.student}: fidelity gate FAILED "
+                f"(MSE@t+10 delta {fid.get('mse10_delta_pct'):+.2f}% > 1%); "
+                "refusing to serve it")
+        tmpl = init_transition(jax.random.PRNGKey(0), cfg.latent_dim,
+                               datasource.spec.num_actions,
+                               hidden=int(fid["hidden"]))
+        student = ckpt.load_pytree(
+            os.path.join(args.student, "model-transition.npz"), tmpl)
+        state = state._replace(params=state.params._replace(
+            transition=student))
+        print(f"Serving distilled student transition (hidden="
+              f"{fid['hidden']}, MSE@t+10 delta "
+              f"{fid['mse10_delta_pct']:+.2f}%)")
 
     mesh = None
     if cfg.mesh_shape is not None:
