@@ -48,11 +48,15 @@ def _validated_student():
 
     Only minipacman students count: the north-star metric is defined on
     64x64 MiniPacman rollouts (BASELINE.md) — a student for a smaller env
-    would inflate frames/s with cheaper frames."""
+    would inflate frames/s with cheaper frames.
+
+    Searched in runs/ (scratch) and pretrained_models/ (git-tracked
+    bundles, so a fresh checkout still benches the student path)."""
     import glob
 
     best = None
-    for fid_path in glob.glob("runs/*student*/fidelity.json"):
+    for fid_path in (glob.glob("runs/*student*/fidelity.json")
+                     + glob.glob("pretrained_models/*student*/fidelity.json")):
         try:
             with open(fid_path) as f:
                 fid = json.load(f)
