@@ -14,8 +14,19 @@ the swap on the reference MSE protocol staying within 1% at t+10
 Objective: BCE between the student's deterministic sigmoid output and the
 teacher's hard-thresholded next latents, over the exact state distribution
 of the eval free-run (main.py:796-799): z_0 is the raw encoder output,
-every later input is a binary latent carried through the teacher's own
-eval rollout, actions start at index 1.
+every later input is a binary latent carried through an eval rollout,
+actions start at index 1.
+
+On-policy correction (DAgger-style): at serve time the student free-runs
+on *its own* binary latents, so a student trained only on teacher-visited
+states compounds its errors (measured: +10.7% MSE@t+10 for an h=64
+student at 2k teacher-only iters).  ``p_on_policy`` mixes the rollout
+carry per (sample, step): with that probability the next input state is
+the student's own hard-thresholded output, else the teacher's.  Targets
+are always the teacher's one-step output *from the visited state*, which
+is exactly the DAgger expert-labels-learner-states recipe.  Ramping
+p 0 -> 1 over training (scheduled sampling) gives the curriculum:
+imitate first, then learn to correct your own drift.
 """
 
 from __future__ import annotations
@@ -33,26 +44,40 @@ from scmgan_tpu.ops.spectral_norm import update_spectral_norms
 
 def make_distill_step(spec, teacher: WorldModel, tx,
                       batch_size: int, rollout_len: int):
-    """Returns a jitted ``(student, opt_state, key) -> (student, opt_state,
-    bce, bit_acc)`` step.  Data is generated on device each call: fresh
-    env trajectories + the teacher's own eval-mode rollout as the
-    imitation target."""
+    """Returns a jitted ``(student, opt_state, key, p_on_policy) ->
+    (student, opt_state, bce, bit_acc)`` step.  Data is generated on
+    device each call: fresh env trajectories, rolled out with a per-sample
+    teacher/student carry mix (see module docstring), teacher one-step
+    outputs from the visited states as the imitation target."""
 
-    def distill_step(student, opt_state, key):
+    def distill_step(student, opt_state, key, p_on_policy=0.0):
+        k_env, k_mix = jax.random.split(key)
         obs, _, _, actions = rollout(
-            spec, key, batch_size, rollout_len + 2, "random")
+            spec, k_env, batch_size, rollout_len + 2, "random")
         a_oh = jax.nn.one_hot(actions, spec.num_actions, dtype=jnp.float32)
         a_tm = jnp.swapaxes(a_oh, 0, 1)                      # (T, B, A)
         z0 = encode(teacher.encoder, obs[:, :3].astype(jnp.float32))
+        use_student = jax.random.bernoulli(
+            k_mix, p_on_policy, (rollout_len, batch_size))   # (T, B)
 
-        def teacher_step(z, t):
+        # The carry visits student-reachable states; labels are always the
+        # teacher's one-step output from the visited state.  The student
+        # inside the data rollout is the *current* (pre-update) one —
+        # stop_gradient keeps the generator out of the loss graph.
+        frozen = jax.lax.stop_gradient(student)
+
+        def gen_step(z, t):
             y = transition(teacher.transition, z, a_tm[t], train=False)
-            return y, (z, a_tm[t], y)
+            y_s = transition(frozen, z, a_tm[t], train=False)
+            z_next = jnp.where(
+                use_student[t - 1][:, None, None, None], y_s, y)
+            return z_next, (z, a_tm[t], y)
 
         _, (Z, A, Y) = jax.lax.scan(
-            teacher_step, z0, jnp.arange(1, rollout_len + 1))
+            gen_step, z0, jnp.arange(1, rollout_len + 1))
         flat = lambda x: x.reshape((-1,) + x.shape[2:])
         Z, A, Y = flat(Z), flat(A), jax.lax.stop_gradient(flat(Y))
+        Z = jax.lax.stop_gradient(Z)
 
         def loss_fn(sp):
             p = transition(sp, Z, A, train=True, deterministic=True)

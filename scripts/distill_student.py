@@ -34,6 +34,14 @@ def build_parser():
     p.add_argument("--rollout", type=int, default=20,
                    help="teacher free-run length per sampled trajectory")
     p.add_argument("--learning-rate", type=float, default=1e-3)
+    p.add_argument("--on-policy-max", type=float, default=1.0,
+                   help="final probability that the rollout carry is the "
+                        "student's own state (DAgger mix; teacher labels)")
+    p.add_argument("--on-policy-ramp", type=float, default=0.5,
+                   help="fraction of iters over which p ramps 0 -> max")
+    p.add_argument("--cosine-decay", action="store_true", default=True)
+    p.add_argument("--no-cosine-decay", dest="cosine_decay",
+                   action="store_false")
     p.add_argument("--out", default=None)
     p.add_argument("--platform", default=None)
     p.add_argument("--fidelity-only", action="store_true",
@@ -78,19 +86,25 @@ def main(argv=None):
                               hidden=args.hidden)
 
     if not args.fidelity_only:
-        tx = optax.chain(optax.clip(0.1), optax.adam(args.learning_rate))
+        lr = (optax.cosine_decay_schedule(
+                  args.learning_rate, args.iters, alpha=0.05)
+              if args.cosine_decay else args.learning_rate)
+        tx = optax.chain(optax.clip(0.1), optax.adam(lr))
         opt_state = tx.init(student)
         distill_step = make_distill_step(
             spec, tp, tx, args.batch_size, args.rollout)
 
+        ramp_iters = max(1, int(args.on_policy_ramp * args.iters))
         t0 = time.time()
         for it in range(args.iters):
             key, k = jax.random.split(key)
+            p_on = args.on_policy_max * min(1.0, it / ramp_iters)
             student, opt_state, loss, bits = distill_step(
-                student, opt_state, k)
+                student, opt_state, k, p_on)
             if it % 100 == 0 or it == args.iters - 1:
                 print(f"iter {it:5d}  bce {float(loss):.5f}  "
-                      f"bit-acc {float(bits):.5f}  ({time.time()-t0:.1f}s)",
+                      f"bit-acc {float(bits):.5f}  p_on {p_on:.2f}  "
+                      f"({time.time()-t0:.1f}s)",
                       flush=True)
         ckpt.save_pytree(os.path.join(out_dir, "model-transition.npz"),
                          student)

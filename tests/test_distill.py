@@ -45,6 +45,29 @@ def test_distill_step_learns(setup):
     )
 
 
+def test_distill_step_on_policy_mix(setup):
+    """The DAgger mix (p_on_policy > 0) must run under the same jit
+    compilation (scalar prob is a traced arg, not a static one) and keep
+    learning: the rollout carry visits student states, teacher labels."""
+    _, spec, teacher = setup
+    student = init_transition(jax.random.PRNGKey(3), 16, spec.num_actions,
+                              hidden=16)
+    tx = optax.chain(optax.clip(0.1), optax.adam(1e-3))
+    opt_state = tx.init(student)
+    step = make_distill_step(spec, teacher, tx, batch_size=4, rollout_len=4)
+
+    key = jax.random.PRNGKey(4)
+    losses = []
+    for i in range(8):
+        key, k = jax.random.split(key)
+        # ramp 0 -> 1 like the driver script; distinct floats must not
+        # retrigger compilation (weak-typed 0-d tracer)
+        student, opt_state, loss, _ = step(student, opt_state, k, i / 8.0)
+        losses.append(float(loss))
+    assert losses[-1] < losses[0]
+    assert step._cache_size() == 1
+
+
 def test_measure_fidelity_gate(setup, tmp_path):
     """The teacher against itself is a perfect student: deltas 0, gate
     open; a random student must report larger error than the teacher."""
