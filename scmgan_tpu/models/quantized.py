@@ -93,38 +93,14 @@ def quantize_transition(params: dict, latent_dim: int = None,
     return QuantizedTransition(weights, scales, biases, requant)
 
 
-def calibrate_transition(params: dict, z_samples: jax.Array,
-                         action_onehots: jax.Array,
-                         percentile: float = 100.0) -> QuantizedTransition:
-    """Calibrated per-channel w8a8 quantization of the transition.
-
-    The static-scale pipeline (``quantize_transition``) assumes every
-    leaky-ReLU output lives in [0, 8]; real trained activations are much
-    tighter and channel-dependent, wasting int8 resolution (>95% bit
-    agreement but only ~34% MPC argmax agreement on near-tie scores).
-    This variant runs the exact transition on a calibration batch, records
-    a per-channel ``percentile`` activation range per layer, and folds each
-    layer's per-channel *input* scale into the next layer's weights before
-    per-output-channel weight quantization — so the runtime kernels
-    (``transition_int8`` / ``_halo`` / ``_split``) are unchanged; only the
-    packed weights/scales differ.
-
-    z_samples: (N, H, W, L) binary latents.
-
-    action_onehots: (N, A) for single-step calibration, or (N, T, A) to
-    calibrate over a T-step exact free-run from ``z_samples`` (serving
-    semantics: hard-thresholded carry).  PREFER the sequence form for
-    models that will free-run: ranges measured only at the seed states
-    under-cover the states a rollout visits, and the resulting requant
-    clipping compounds step over step (measured: single-step calibration
-    is 16x worse free-run MSE@10 than the exact path on trained pong;
-    multi-step calibration recovers parity — scripts/bench_int8_mse.py).
-
-    ``percentile`` defaults to 100 (per-channel max): for free-running
-    serving, clipping even rare activations compounds step over step —
-    measured on trained pong, max-calibration reaches exact-path MSE@10
-    parity while 99.99 leaves a 2% gap.
-    """
+def activation_scales(params: dict, z_samples: jax.Array,
+                      action_onehots: jax.Array,
+                      percentile: float = 100.0) -> dict:
+    """Per-channel activation scales of the transition's five hidden
+    leaky-ReLU layers, measured on an exact forward (single-step) or exact
+    free-run (``action_onehots`` of shape (N, T, A)).  Shared by
+    ``calibrate_transition`` (weight folding) and the QAT distillation
+    path (train/distill.py), so both quantize against the same grid."""
     from scmgan_tpu.models.world_model import transition as exact_transition
 
     # exact forward with intermediates (float32 for calibration fidelity)
@@ -160,11 +136,47 @@ def calibrate_transition(params: dict, z_samples: jax.Array,
             return_all=True)
         ranges = [chan_range(h) for h in (h1, h2, h3, h4, h5)]
 
-    act_scale = {
+    return {
         name: jnp.maximum(r, 1e-4) / 127.0   # scale of this conv's OUTPUT
         for name, r in zip(("conv1", "conv2", "conv3", "conv4", "conv5"),
                            ranges)
     }
+
+
+def calibrate_transition(params: dict, z_samples: jax.Array,
+                         action_onehots: jax.Array,
+                         percentile: float = 100.0) -> QuantizedTransition:
+    """Calibrated per-channel w8a8 quantization of the transition.
+
+    The static-scale pipeline (``quantize_transition``) assumes every
+    leaky-ReLU output lives in [0, 8]; real trained activations are much
+    tighter and channel-dependent, wasting int8 resolution (>95% bit
+    agreement but only ~34% MPC argmax agreement on near-tie scores).
+    This variant runs the exact transition on a calibration batch, records
+    a per-channel ``percentile`` activation range per layer, and folds each
+    layer's per-channel *input* scale into the next layer's weights before
+    per-output-channel weight quantization — so the runtime kernels
+    (``transition_int8`` / ``_halo`` / ``_split``) are unchanged; only the
+    packed weights/scales differ.
+
+    z_samples: (N, H, W, L) binary latents.
+
+    action_onehots: (N, A) for single-step calibration, or (N, T, A) to
+    calibrate over a T-step exact free-run from ``z_samples`` (serving
+    semantics: hard-thresholded carry).  PREFER the sequence form for
+    models that will free-run: ranges measured only at the seed states
+    under-cover the states a rollout visits, and the resulting requant
+    clipping compounds step over step (measured: single-step calibration
+    is 16x worse free-run MSE@10 than the exact path on trained pong;
+    multi-step calibration recovers parity — scripts/bench_int8_mse.py).
+
+    ``percentile`` defaults to 100 (per-channel max): for free-running
+    serving, clipping even rare activations compounds step over step —
+    measured on trained pong, max-calibration reaches exact-path MSE@10
+    parity while 99.99 leaves a 2% gap.
+    """
+    act_scale = activation_scales(params, z_samples, action_onehots,
+                                  percentile=percentile)
 
     latent = z_samples.shape[-1]
     def in_scales(name):

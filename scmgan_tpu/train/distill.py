@@ -39,18 +39,99 @@ import optax
 
 from scmgan_tpu.envs.base import rollout
 from scmgan_tpu.models.world_model import WorldModel, encode, transition
-from scmgan_tpu.ops.spectral_norm import update_spectral_norms
+from scmgan_tpu.ops.conv import conv2d, leaky_relu
+from scmgan_tpu.ops.spectral_norm import sn_weight, update_spectral_norms
+
+
+def _ste(x, q):
+    """Straight-through: forward ``q``, gradient of ``x``."""
+    return x + jax.lax.stop_gradient(q - x)
+
+
+def _ste_round_clip(x):
+    return _ste(x, jnp.clip(jnp.round(x), -127, 127))
+
+
+def fake_quant_transition(params: dict, act_scale: dict, z: jax.Array,
+                          action_onehot: jax.Array) -> jax.Array:
+    """Differentiable mirror of the int8 serving engine
+    (``calibrate_transition`` + ``transition_int8_v2``): per-input-channel
+    scales folded into the weights, per-output-channel symmetric int8
+    weights, per-channel activation requantization — all with
+    straight-through rounding so the student can be trained *through* the
+    quantization grid (QAT).  ``act_scale`` is the calibration record from
+    ``quantized.activation_scales`` (recomputed periodically from the
+    current student by the distillation driver).
+
+    Not bit-exact to the int8 kernels (f32 accumulation vs int32) but on
+    the same grid: weights and hidden activations take exactly the values
+    the serving engine can represent.  Deterministic sigmoid head.
+    """
+    b, h, w, latent = z.shape
+    a_map = jnp.broadcast_to(
+        action_onehot[:, None, None, :].astype(z.dtype),
+        (b, h, w, action_onehot.shape[-1]))
+    ones_in = jnp.ones((latent + action_onehot.shape[-1],), jnp.float32)
+
+    def in_scales(name):
+        if name == "conv1":
+            return ones_in
+        if name in ("conv2", "conv3", "conv4"):
+            return act_scale[{"conv2": "conv1", "conv3": "conv2",
+                              "conv4": "conv3"}[name]]
+        if name == "conv5":  # concat(h4, h2)
+            return jnp.concatenate([act_scale["conv4"], act_scale["conv2"]])
+        if name == "conv6":  # concat(h5, h1)
+            return jnp.concatenate([act_scale["conv5"], act_scale["conv1"]])
+        raise ValueError(name)
+
+    def qconv(name, x_int, requant=True):
+        """x_int: input on its integer grid (value / s_in)."""
+        p = params[name]
+        w_raw = sn_weight(p) if "sn" in p else p["w"]
+        s_in = jax.lax.stop_gradient(in_scales(name))
+        w_f = w_raw * s_in[None, None, :, None]
+        ws = jax.lax.stop_gradient(
+            jnp.max(jnp.abs(w_f.reshape(-1, w_f.shape[-1])), axis=0)
+            / 127.0 + 1e-12)
+        w_deq = _ste_round_clip(w_f / ws) * ws        # serving weight grid
+        y = conv2d({"w": w_deq, "b": p["b"]}, x_int, circular=True)
+        if not requant:
+            return y
+        y = leaky_relu(y)
+        s_out = jax.lax.stop_gradient(act_scale[name])
+        return _ste_round_clip(y / s_out)             # next integer grid
+
+    # conv1 inputs (binary latents + one-hot actions) are already integers
+    x = jnp.concatenate([z, a_map], axis=-1)
+    h1 = qconv("conv1", x)
+    h2 = qconv("conv2", h1)
+    h3 = qconv("conv3", h2)
+    h4 = qconv("conv4", h3)
+    h5 = qconv("conv5", jnp.concatenate([h4, h2], axis=-1))
+    logits = qconv("conv6", jnp.concatenate([h5, h1], axis=-1),
+                   requant=False)
+    return jax.nn.sigmoid(logits)
 
 
 def make_distill_step(spec, teacher: WorldModel, tx,
-                      batch_size: int, rollout_len: int):
-    """Returns a jitted ``(student, opt_state, key, p_on_policy) ->
-    (student, opt_state, bce, bit_acc)`` step.  Data is generated on
+                      batch_size: int, rollout_len: int, qat: bool = False):
+    """Returns a jitted ``(student, opt_state, key, p_on_policy[, act_scale])
+    -> (student, opt_state, bce, bit_acc)`` step.  Data is generated on
     device each call: fresh env trajectories, rolled out with a per-sample
     teacher/student carry mix (see module docstring), teacher one-step
-    outputs from the visited states as the imitation target."""
+    outputs from the visited states as the imitation target.
 
-    def distill_step(student, opt_state, key, p_on_policy=0.0):
+    ``qat=True`` trains through the serving engine's quantization grid
+    (``fake_quant_transition``): the step then requires ``act_scale`` (from
+    ``quantized.activation_scales`` on the current student — recalibrate
+    periodically), the on-policy carry visits the *quantized* student's
+    states, and the loss is scored on the fake-quant forward.  This is what
+    closes the int8-minus-exact fidelity gap at serve time.
+    """
+
+    def distill_step(student, opt_state, key, p_on_policy=0.0,
+                     act_scale=None):
         k_env, k_mix = jax.random.split(key)
         obs, _, _, actions = rollout(
             spec, k_env, batch_size, rollout_len + 2, "random")
@@ -66,9 +147,15 @@ def make_distill_step(spec, teacher: WorldModel, tx,
         # stop_gradient keeps the generator out of the loss graph.
         frozen = jax.lax.stop_gradient(student)
 
+        def student_fwd(sp, z, a):
+            if qat:
+                return fake_quant_transition(sp, act_scale, z, a)
+            return transition(sp, z, a, train=True, deterministic=True)
+
         def gen_step(z, t):
             y = transition(teacher.transition, z, a_tm[t], train=False)
-            y_s = transition(frozen, z, a_tm[t], train=False)
+            y_s = (student_fwd(frozen, z, a_tm[t]) > 0.5).astype(z.dtype) \
+                if qat else transition(frozen, z, a_tm[t], train=False)
             z_next = jnp.where(
                 use_student[t - 1][:, None, None, None], y_s, y)
             return z_next, (z, a_tm[t], y)
@@ -80,7 +167,7 @@ def make_distill_step(spec, teacher: WorldModel, tx,
         Z = jax.lax.stop_gradient(Z)
 
         def loss_fn(sp):
-            p = transition(sp, Z, A, train=True, deterministic=True)
+            p = student_fwd(sp, Z, A)
             p = jnp.clip(p, 1e-6, 1.0 - 1e-6)
             bce = -(Y * jnp.log(p) + (1.0 - Y) * jnp.log(1.0 - p))
             bits = jnp.mean(

@@ -46,6 +46,17 @@ def build_parser():
     p.add_argument("--platform", default=None)
     p.add_argument("--fidelity-only", action="store_true",
                    help="skip training; re-measure fidelity of <out>")
+    p.add_argument("--init-from", default=None,
+                   help="warm-start the student from <dir>/model-transition"
+                        ".npz (same hidden width) instead of fresh init")
+    p.add_argument("--qat-from", type=float, default=None, metavar="FRAC",
+                   help="switch to quantization-aware training (fake-quant "
+                        "forward on the serving int8 grid) after this "
+                        "fraction of iters; closes the int8-minus-exact "
+                        "fidelity gap")
+    p.add_argument("--qat-recal", type=int, default=500,
+                   help="recalibrate QAT activation scales from the "
+                        "current student every N iters")
     p.add_argument("--eval-batch-size", type=int, default=100)
     p.add_argument("--eval-timesteps", type=int, default=30)
     p.add_argument("--seed", type=int, default=0)
@@ -84,6 +95,9 @@ def main(argv=None):
     key, k_init = jax.random.split(key)
     student = init_transition(k_init, cfg.latent_dim, spec.num_actions,
                               hidden=args.hidden)
+    if args.init_from:
+        student = ckpt.load_pytree(
+            os.path.join(args.init_from, "model-transition.npz"), student)
 
     if not args.fidelity_only:
         lr = (optax.cosine_decay_schedule(
@@ -94,16 +108,48 @@ def main(argv=None):
         distill_step = make_distill_step(
             spec, tp, tx, args.batch_size, args.rollout)
 
+        qat_start = (args.iters if args.qat_from is None
+                     else max(0, int(args.qat_from * args.iters)))
+        if qat_start < args.iters:
+            import jax.numpy as jnp
+
+            from scmgan_tpu.models.quantized import activation_scales
+            from scmgan_tpu.models.world_model import encode
+
+            distill_step_qat = make_distill_step(
+                spec, tp, tx, args.batch_size, args.rollout, qat=True)
+            calib_fn = jax.jit(activation_scales)
+
+            def recalibrate(sp, k):
+                obs, _, _, actions = ds.collect(64, 30, key=k)
+                a_oh = jax.nn.one_hot(actions, spec.num_actions,
+                                      dtype=jnp.float32)
+                z_cal = (encode(tp.encoder, obs[:, :3].astype(jnp.float32))
+                         > 0.5).astype(jnp.float32)
+                # serving-semantics multi-step calibration (same recipe as
+                # measure_fidelity / the MPC int8 path)
+                return calib_fn(sp, z_cal, a_oh[:, 2:29])
+
         ramp_iters = max(1, int(args.on_policy_ramp * args.iters))
+        act_scale = None
         t0 = time.time()
         for it in range(args.iters):
             key, k = jax.random.split(key)
             p_on = args.on_policy_max * min(1.0, it / ramp_iters)
-            student, opt_state, loss, bits = distill_step(
-                student, opt_state, k, p_on)
+            if it >= qat_start:
+                if act_scale is None or \
+                        (it - qat_start) % args.qat_recal == 0:
+                    key, kc = jax.random.split(key)
+                    act_scale = recalibrate(student, kc)
+                student, opt_state, loss, bits = distill_step_qat(
+                    student, opt_state, k, p_on, act_scale)
+            else:
+                student, opt_state, loss, bits = distill_step(
+                    student, opt_state, k, p_on)
             if it % 100 == 0 or it == args.iters - 1:
+                tag = " QAT" if it >= qat_start else ""
                 print(f"iter {it:5d}  bce {float(loss):.5f}  "
-                      f"bit-acc {float(bits):.5f}  p_on {p_on:.2f}  "
+                      f"bit-acc {float(bits):.5f}  p_on {p_on:.2f}{tag}  "
                       f"({time.time()-t0:.1f}s)",
                       flush=True)
         ckpt.save_pytree(os.path.join(out_dir, "model-transition.npz"),
@@ -116,7 +162,7 @@ def main(argv=None):
         tp, student, ds, out_dir, eval_batch_size=args.eval_batch_size,
         eval_timesteps=args.eval_timesteps, seed=args.seed)
     fid.update(env=args.env, teacher=args.teacher, hidden=args.hidden,
-               iters=args.iters)
+               iters=args.iters, qat_from=args.qat_from)
     with open(os.path.join(out_dir, "fidelity.json"), "w") as f:
         json.dump(fid, f, indent=2)
     print(json.dumps(fid, indent=2))
