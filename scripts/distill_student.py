@@ -59,6 +59,10 @@ def build_parser():
                         "current student every N iters")
     p.add_argument("--eval-batch-size", type=int, default=100)
     p.add_argument("--eval-timesteps", type=int, default=30)
+    p.add_argument("--eval-seeds", type=int, default=1,
+                   help="aggregate the fidelity gate over N independent "
+                        "paired evals (the @t+10 estimate carries ~2.5% "
+                        "standard error per 100 trajectories)")
     p.add_argument("--seed", type=int, default=0)
     return p
 
@@ -158,9 +162,48 @@ def main(argv=None):
         student = ckpt.load_pytree(
             os.path.join(out_dir, "model-transition.npz"), student)
 
-    fid = measure_fidelity(
-        tp, student, ds, out_dir, eval_batch_size=args.eval_batch_size,
-        eval_timesteps=args.eval_timesteps, seed=args.seed)
+    per_seed = []
+    for i in range(max(1, args.eval_seeds)):
+        fid_i = measure_fidelity(
+            tp, student, ds, out_dir,
+            eval_batch_size=args.eval_batch_size,
+            eval_timesteps=args.eval_timesteps, seed=args.seed,
+            eval_seed=args.seed + 7919 * i)
+        per_seed.append(fid_i)
+        print(f"eval seed {i}: mse10_delta_pct "
+              f"{fid_i['mse10_delta_pct']:.3f}", flush=True)
+    if len(per_seed) == 1:
+        fid = per_seed[0]
+    else:
+        # aggregate means across seeds, deltas from the aggregate means;
+        # between-seed scatter gives the gate's standard error
+        import math
+
+        fid = dict(per_seed[0])
+        n = len(per_seed)
+        for k in ("teacher_mse", "student_mse", "student_int8_mse"):
+            if k in fid:
+                fid[k] = {h: sum(f[k][h] for f in per_seed) / n
+                          for h in fid[k]}
+        fid["delta_pct"] = {
+            h: 100.0 * (fid["student_mse"][h] - fid["teacher_mse"][h])
+            / fid["teacher_mse"][h] for h in fid["teacher_mse"]}
+        gate_key = ("int8_delta_pct" if "student_int8_mse" in fid
+                    else "delta_pct")
+        if "student_int8_mse" in fid:
+            fid["int8_delta_pct"] = {
+                h: 100.0 * (fid["student_int8_mse"][h]
+                            - fid["teacher_mse"][h])
+                / fid["teacher_mse"][h] for h in fid["teacher_mse"]}
+        deltas10 = [f["mse10_delta_pct"] for f in per_seed]
+        fid["mse10_delta_pct"] = fid[gate_key].get(10)
+        fid["mse10_delta_per_seed"] = deltas10
+        fid["mse10_delta_se_pct"] = (
+            math.sqrt(sum((d - sum(deltas10) / n) ** 2
+                          for d in deltas10) / (n - 1) / n))
+        fid["eval_seeds"] = n
+        fid["within_1pct"] = (fid["mse10_delta_pct"] is not None
+                              and fid["mse10_delta_pct"] <= 1.0)
     fid.update(env=args.env, teacher=args.teacher, hidden=args.hidden,
                iters=args.iters, qat_from=args.qat_from)
     with open(os.path.join(out_dir, "fidelity.json"), "w") as f:
