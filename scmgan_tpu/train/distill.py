@@ -38,7 +38,12 @@ import jax.numpy as jnp
 import optax
 
 from scmgan_tpu.envs.base import rollout
-from scmgan_tpu.models.world_model import WorldModel, encode, transition
+from scmgan_tpu.models.world_model import (
+    WorldModel,
+    decode,
+    encode,
+    transition,
+)
 from scmgan_tpu.ops.conv import conv2d, leaky_relu
 from scmgan_tpu.ops.spectral_norm import sn_weight, update_spectral_norms
 
@@ -188,6 +193,80 @@ def make_distill_step(spec, teacher: WorldModel, tx,
         return student, opt_state, loss, bits
 
     return jax.jit(distill_step)
+
+
+def make_gt_finetune_step(spec, teacher: WorldModel, tx, batch_size: int,
+                          horizon: int, qat: bool = True):
+    """Fine-tune the student on the *gated metric itself*: free-run pixel
+    MSE against ground-truth frames under the exact eval protocol
+    (analysis/mse.py::_free_run_stats, reference main.py:784-835) —
+    encode frames 0..2, advance once with action[1], then for each
+    t = 2..2+horizon decode through the frozen teacher decoder, score the
+    done-masked pixel MSE against obs[t], and advance with action[t].
+
+    Distillation (BCE to teacher bits) upper-bounds the student at teacher
+    fidelity; this objective removes that ceiling — the student descends
+    the same quantity the fidelity gate reads (a student can come out
+    *better* than the teacher at t+10).  The forward is the QAT fake-quant
+    mirror of the int8 serving engine, the carry is hard-binarized with a
+    straight-through gradient (the eval free-run carries binary latents),
+    and the whole rollout is backpropagated (per-step ``jax.checkpoint``
+    keeps BPTT memory at one step's activations).
+
+    Returns a jitted ``(student, opt_state, key[, act_scale]) ->
+    (student, opt_state, gate_mse, mean_mse)`` step where ``gate_mse`` is
+    the masked pixel MSE at the gate horizon (t+10) and ``mean_mse`` the
+    mean over all scored steps.
+    """
+
+    def ft_step(student, opt_state, key, act_scale=None):
+        # horizon+3 frames: 3 context + scored steps t = 2..2+horizon-1,
+        # with one advance before scoring (the protocol's action[1] step).
+        obs, _, dones, actions = rollout(
+            spec, key, batch_size, horizon + 3, "random")
+        f32 = jnp.float32
+        a_oh = jax.nn.one_hot(actions, spec.num_actions, dtype=f32)
+        act_tm = jnp.swapaxes(a_oh, 0, 1)                     # (T, B, A)
+        obs_tm = jnp.swapaxes(obs.astype(f32), 0, 1)          # (T, B, H, W, C)
+        done_tm = jnp.swapaxes(dones.astype(f32), 0, 1)
+        z0 = encode(teacher.encoder, obs[:, :3].astype(f32))
+        b = obs.shape[0]
+
+        def loss_fn(sp):
+            def fwd(z, a):
+                p = (fake_quant_transition(sp, act_scale, z, a) if qat
+                     else transition(sp, z, a, train=True,
+                                     deterministic=True))
+                # eval free-runs carry hard-binarized latents; STE keeps
+                # the rollout differentiable
+                return _ste(p, (p > 0.5).astype(p.dtype))
+
+            z = fwd(z0, act_tm[1])
+
+            @jax.checkpoint
+            def step(carry, t):
+                z, active = carry
+                active = active * (1.0 - done_tm[t])
+                pred = jax.nn.sigmoid(decode(teacher.decoder, z))
+                per_traj = jnp.mean((obs_tm[t] - pred) ** 2, axis=(1, 2, 3))
+                n = jnp.maximum(jnp.sum(active), 1.0)
+                mse_t = jnp.sum(active * per_traj) / n
+                z = fwd(z, act_tm[t])
+                return (z, active), mse_t
+
+            (_, _), mses = jax.lax.scan(
+                step, (z, jnp.ones((b,), f32)), jnp.arange(2, 2 + horizon))
+            gate = mses[10] if horizon > 10 else mses[-1]
+            return jnp.mean(mses), gate
+
+        (loss, gate), grads = jax.value_and_grad(
+            loss_fn, has_aux=True)(student)
+        updates, opt_state = tx.update(grads, opt_state, student)
+        student = optax.apply_updates(student, updates)
+        student = update_spectral_norms(student)
+        return student, opt_state, gate, loss
+
+    return jax.jit(ft_step)
 
 
 def measure_fidelity(teacher: WorldModel, student_transition, datasource,

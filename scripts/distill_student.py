@@ -57,6 +57,14 @@ def build_parser():
     p.add_argument("--qat-recal", type=int, default=500,
                    help="recalibrate QAT activation scales from the "
                         "current student every N iters")
+    p.add_argument("--gt-iters", type=int, default=0,
+                   help="after distillation, fine-tune on the gated metric "
+                        "itself: free-run pixel MSE vs ground truth under "
+                        "the eval protocol (QAT forward, STE binary carry; "
+                        "removes the teacher-fidelity ceiling)")
+    p.add_argument("--gt-horizon", type=int, default=16)
+    p.add_argument("--gt-batch-size", type=int, default=16)
+    p.add_argument("--gt-learning-rate", type=float, default=1e-4)
     p.add_argument("--eval-batch-size", type=int, default=100)
     p.add_argument("--eval-timesteps", type=int, default=30)
     p.add_argument("--eval-seeds", type=int, default=1,
@@ -161,6 +169,46 @@ def main(argv=None):
     else:
         student = ckpt.load_pytree(
             os.path.join(out_dir, "model-transition.npz"), student)
+
+    if args.gt_iters > 0 and not args.fidelity_only:
+        import jax.numpy as jnp
+
+        from scmgan_tpu.models.quantized import activation_scales
+        from scmgan_tpu.models.world_model import encode
+        from scmgan_tpu.train.distill import make_gt_finetune_step
+
+        lr = (optax.cosine_decay_schedule(
+                  args.gt_learning_rate, args.gt_iters, alpha=0.05)
+              if args.cosine_decay else args.gt_learning_rate)
+        tx = optax.chain(optax.clip(0.1), optax.adam(lr))
+        opt_state = tx.init(student)
+        ft_step = make_gt_finetune_step(
+            spec, tp, tx, args.gt_batch_size, args.gt_horizon, qat=True)
+        calib_fn = jax.jit(activation_scales)
+
+        def recalibrate_gt(sp, k):
+            obs, _, _, actions = ds.collect(64, 30, key=k)
+            a_oh = jax.nn.one_hot(actions, spec.num_actions,
+                                  dtype=jnp.float32)
+            z_cal = (encode(tp.encoder, obs[:, :3].astype(jnp.float32))
+                     > 0.5).astype(jnp.float32)
+            return calib_fn(sp, z_cal, a_oh[:, 2:29])
+
+        act_scale = None
+        t0 = time.time()
+        for it in range(args.gt_iters):
+            key, k = jax.random.split(key)
+            if act_scale is None or it % args.qat_recal == 0:
+                key, kc = jax.random.split(key)
+                act_scale = recalibrate_gt(student, kc)
+            student, opt_state, gate, mean_mse = ft_step(
+                student, opt_state, k, act_scale)
+            if it % 50 == 0 or it == args.gt_iters - 1:
+                print(f"gt-ft {it:5d}  mse@gate {float(gate):.6f}  "
+                      f"mean {float(mean_mse):.6f}  "
+                      f"({time.time()-t0:.1f}s)", flush=True)
+        ckpt.save_pytree(os.path.join(out_dir, "model-transition.npz"),
+                         student)
 
     per_seed = []
     for i in range(max(1, args.eval_seeds)):

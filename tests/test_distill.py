@@ -151,3 +151,40 @@ def test_measure_fidelity_gate(setup, tmp_path):
     assert set(fid_r["int8_delta_pct"]) == {3, 5, 10}
     assert fid_r["mse10_delta_pct"] is None or isinstance(
         fid_r["mse10_delta_pct"], float)
+
+
+def test_gt_finetune_step_descends_gate_metric(setup):
+    """The ground-truth fine-tune stage (make_gt_finetune_step) must
+    backprop through the binarized free-run: a few steps on a fixed env
+    reduce the free-run pixel MSE the fidelity gate reads, with a QAT
+    fake-quant forward and finite SN state throughout."""
+    from scmgan_tpu.train.distill import make_gt_finetune_step
+
+    ds, spec, teacher = setup
+    student = init_transition(jax.random.PRNGKey(5), 16, spec.num_actions,
+                              hidden=16)
+    tx = optax.chain(optax.clip(0.1), optax.adam(3e-3))
+    opt_state = tx.init(student)
+    ft = make_gt_finetune_step(spec, teacher, tx, batch_size=4, horizon=6,
+                               qat=True)
+
+    obs, _, _, actions = ds.collect(8, 12, key=jax.random.PRNGKey(6))
+    from scmgan_tpu.models.world_model import encode
+
+    z_cal = (encode(teacher.encoder, obs[:, :3].astype(jnp.float32))
+             > 0.5).astype(jnp.float32)
+    a_oh = jax.nn.one_hot(actions, spec.num_actions, dtype=jnp.float32)
+    act_scale = activation_scales(student, z_cal, a_oh[:, 2:11])
+
+    key = jax.random.PRNGKey(7)
+    means = []
+    for _ in range(6):
+        key, k = jax.random.split(key)
+        student, opt_state, gate, mean_mse = ft(
+            student, opt_state, k, act_scale)
+        means.append(float(mean_mse))
+    assert means[-1] < means[0]
+    assert float(gate) >= 0.0
+    assert all(
+        bool(jnp.all(jnp.isfinite(leaf))) for leaf in jax.tree.leaves(student)
+    )
