@@ -222,6 +222,11 @@ def test_collect_key_drives_clip_sampling():
         ds = HostReplayDatasource(
             FakeEnv, num_actions=3, num_rewards=2, channels=2, seed=0)
         ds.buffer.test_holdout = -1.0
+        # Freeze the buffer: the determinism contract is conditioned on
+        # identical buffer contents, so the live actor thread (which would
+        # race episodes into the reservoir under a loaded machine) must
+        # not start for this test.
+        ds._ensure_started = lambda: None
         for i in range(6):
             frames = np.arange(10, dtype=np.float32).reshape(10, 1, 1, 1)
             frames = np.broadcast_to(frames + 100 * i, (10, 2, 4, 4)).copy()
