@@ -84,7 +84,7 @@ def build_parser() -> argparse.ArgumentParser:
                    help="Directory of a distilled serving transition "
                         "(scripts/distill_student.py output): swaps it in "
                         "for evaluate/play.  Refuses if its recorded "
-                        "fidelity gate (within 1% MSE@t+10) failed.")
+                        "fidelity gate (within 1%% MSE@t+10) failed.")
     return p
 
 
