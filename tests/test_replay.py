@@ -61,33 +61,41 @@ def test_host_actor_fills_buffer():
     buf = ReplayBuffer(capacity=10, test_holdout=0.0, seed=0)
     actor = HostActor(FakeEnv, buf, num_rewards=2, max_trajectory_len=8)
     actor.start()
-    deadline = time.time() + 10
-    while len(buf) < 2 and time.time() < deadline:
-        time.sleep(0.05)
-    assert len(buf) >= 2
-    assert actor.is_alive()
-    states, rewards, actions = buf.sample_episode(True)
-    assert states.shape[1:] == (2, 4, 4)
-    assert rewards.shape[1] == 2  # pos/neg split for scalar rewards
-    # first recorded reward is the pre-step zero (reference
-    # envs/minipacman.py:95-108 records reward lagged by one step)
-    np.testing.assert_array_equal(rewards[0], [0.0, 0.0])
+    try:
+        deadline = time.time() + 10
+        while len(buf) < 2 and time.time() < deadline:
+            time.sleep(0.05)
+        assert len(buf) >= 2
+        assert actor.is_alive()
+        states, rewards, actions = buf.sample_episode(True)
+        assert states.shape[1:] == (2, 4, 4)
+        assert rewards.shape[1] == 2  # pos/neg split for scalar rewards
+        # first recorded reward is the pre-step zero (reference
+        # envs/minipacman.py:95-108 records reward lagged by one step)
+        np.testing.assert_array_equal(rewards[0], [0.0, 0.0])
+    finally:
+        # a leaked daemon actor keeps allocating for the whole remaining
+        # pytest session and has segfaulted a later XLA CPU compile
+        actor.stop()
 
 
 def test_host_replay_datasource_contract():
     ds = HostReplayDatasource(
         FakeEnv, num_actions=3, num_rewards=2, channels=2,
         min_buffer_len=2, max_trajectory_len=8, seed=0)
-    states, rewards, dones, actions = ds.get_trajectories(
-        batch_size=3, timesteps=10)
-    assert states.shape[0] == 3 and states.shape[1] == 10
-    assert rewards.shape == (3, 10, 2)
-    assert dones.shape == (3, 10)
-    # clip joins carry synthetic dones (episodes are 8 steps < 10)
-    assert dones.any(axis=1).all()
-    obs, rew, dn, act = ds.collect(2, 6)
-    assert obs.shape[0] == 2 and obs.shape[1] == 6
-    assert obs.shape[-1] == 2  # NHWC channels last
+    try:
+        states, rewards, dones, actions = ds.get_trajectories(
+            batch_size=3, timesteps=10)
+        assert states.shape[0] == 3 and states.shape[1] == 10
+        assert rewards.shape == (3, 10, 2)
+        assert dones.shape == (3, 10)
+        # clip joins carry synthetic dones (episodes are 8 steps < 10)
+        assert dones.any(axis=1).all()
+        obs, rew, dn, act = ds.collect(2, 6)
+        assert obs.shape[0] == 2 and obs.shape[1] == 6
+        assert obs.shape[-1] == 2  # NHWC channels last
+    finally:
+        ds.close()
 
 
 def test_actor_death_detected():
@@ -98,11 +106,14 @@ def test_actor_death_detected():
     ds = HostReplayDatasource(
         CrashingEnv, num_actions=3, num_rewards=1, channels=2,
         min_buffer_len=1, seed=0)
-    with pytest.raises(RuntimeError, match="Simulator thread crashed"):
-        deadline = time.time() + 10
-        while time.time() < deadline:
-            ds.get_trajectories(1, 4)
-            time.sleep(0.1)
+    try:
+        with pytest.raises(RuntimeError, match="Simulator thread crashed"):
+            deadline = time.time() + 10
+            while time.time() < deadline:
+                ds.get_trajectories(1, 4)
+                time.sleep(0.1)
+    finally:
+        ds.close()
 
 
 def test_collect_training_flag_selects_split():

@@ -134,13 +134,16 @@ def test_zergling_pipeline_with_fake_env():
         split_reward=zergling_split_reward,
         policy=NoopBiasedPolicy(5, ZERGLING_NOOP_ACTION, seed=0),
         min_buffer_len=2, max_trajectory_len=20, seed=0)
-    states, rewards, dones, actions = ds.get_trajectories(3, 10)
-    assert states.shape == (3, 10, 4, 8, 8)
-    assert rewards.shape == (3, 10, 4)
-    # rewards lag one step; post-step entries carry the info-dict channels
-    assert (rewards.reshape(-1, 4) == [1, 2, 3, 4]).all(axis=1).any()
-    # the 90%-noop policy dominates the action stream
-    assert (actions == ZERGLING_NOOP_ACTION).mean() > 0.7
+    try:
+        states, rewards, dones, actions = ds.get_trajectories(3, 10)
+        assert states.shape == (3, 10, 4, 8, 8)
+        assert rewards.shape == (3, 10, 4)
+        # rewards lag one step; post-step entries carry the info channels
+        assert (rewards.reshape(-1, 4) == [1, 2, 3, 4]).all(axis=1).any()
+        # the 90%-noop policy dominates the action stream
+        assert (actions == ZERGLING_NOOP_ACTION).mean() > 0.7
+    finally:
+        ds.close()
 
 
 def test_micro_battle_sync_refill_and_warmup():
