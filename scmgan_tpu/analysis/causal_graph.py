@@ -42,11 +42,14 @@ def _causal_edge_weights(params: WorldModel, src_z, onehot_a,
         cf = transition(params.transition, perturbed, onehot_a, train=False)
         diff = (dst_z - cf) ** 2                     # (B, H, W, L)
         # reference: max over batch AND spatial dims per destination factor
-        # (cf_difference[:, dst].max(), main.py:577-581)
-        return jnp.max(diff, axis=(0, 1, 2))         # (L,)
+        # (cf_difference[:, dst].max(), main.py:577-581).  On binary
+        # eval-mode latents a single flipped pixel saturates the edge to 1,
+        # so we also return the mean deviation as a non-saturating
+        # diagnostic (printed alongside; the max matrix stays the artifact).
+        return jnp.max(diff, axis=(0, 1, 2)), jnp.mean(diff, axis=(0, 1, 2))
 
-    weights = jax.vmap(one_factor)(jnp.arange(latent_dim))
-    return weights
+    weights, mean_dev = jax.vmap(one_factor)(jnp.arange(latent_dim))
+    return weights, mean_dev
 
 
 def sample_transition(params: WorldModel, datasource,
@@ -74,18 +77,28 @@ def compute_causal_graph(params: WorldModel, datasource, train_iter: int = 0,
     if key is None:
         key = jax.random.PRNGKey(train_iter)
     num_actions = datasource.binary_input_channels
-    weights_runs = []
+    weights_runs, mean_runs = [], []
     for i in range(runs):
         src_z, onehot_a = sample_transition(
             params, datasource, key=jax.random.fold_in(key, i))
-        weights_runs.append(np.asarray(
-            _causal_edge_weights(params, src_z, onehot_a, num_actions)))
+        w_i, m_i = _causal_edge_weights(params, src_z, onehot_a, num_actions)
+        weights_runs.append(np.asarray(w_i))
+        mean_runs.append(np.asarray(m_i))
     w = np.max(weights_runs, axis=0)
     w = w / max(w.max(), 1e-12)
 
     print("Causal Graph Edge Weights")
     print(f"Latent Factor -> Latent Factor dim={w.shape[0]}")
     for row in w:
+        print("\t".join(f"{v:.03f}" for v in row))
+
+    # Non-saturating diagnostic: with hard-thresholded (binary) eval-mode
+    # latents, max-over-batch-and-space saturates every edge that flips a
+    # single pixel anywhere; the mean deviation preserves edge ordering.
+    m = np.mean(mean_runs, axis=0)
+    m = m / max(m.max(), 1e-12)
+    print("Mean-deviation diagnostic (non-saturating, normalized)")
+    for row in m:
         print("\t".join(f"{v:.03f}" for v in row))
 
     if make_images:
