@@ -92,7 +92,15 @@ def _free_run_stats(params: WorldModel, batch, num_actions: int,
 
         z = transition_fn(z, act_tm[t])
         z = jax.lax.stop_gradient(z)
-        return (z, active), (mse_mean, mse_std, r_mean, r_std, jnp.sum(active))
+        # Collapse telemetry: total per-factor variance of the carried
+        # latent across batch AND space.  Exactly zero means every
+        # trajectory carries the identical constant latent — the model has
+        # become input-independent from this horizon on (hard-threshold
+        # eval latents can hit this fixed point while the MSE curve just
+        # goes flat; see the gridworld@10k post-mortem).
+        z_var = jnp.sum(jnp.var(z.astype(f32), axis=(0, 1, 2)))
+        return (z, active), (mse_mean, mse_std, r_mean, r_std,
+                             jnp.sum(active), z_var)
 
     ts = jnp.arange(2, t_total)
     (_, _), outs = jax.lax.scan(step, (z, jnp.ones((b,), f32)), ts)
@@ -120,7 +128,7 @@ def measure_prediction_mse(
     # in-training eval leaves the default False (held-out test split).
     batch = datasource.collect(batch_size, timesteps, key=key,
                                training=use_training_set)
-    mse_m, mse_s, rew_m, rew_s, n_active = (
+    mse_m, mse_s, rew_m, rew_s, n_active, z_var = (
         np.asarray(x)
         for x in _free_run_stats(params, batch,
                                  datasource.binary_input_channels,
@@ -137,6 +145,17 @@ def measure_prediction_mse(
     mse_stddevs = mse_s[:cut].tolist()
     reward_losses = rew_m[:cut].tolist()
     reward_stddevs = rew_s[:cut].tolist()
+
+    collapsed = np.flatnonzero(z_var[:cut] == 0.0)
+    if collapsed.size:
+        print(
+            "WARNING: eval-mode latent collapse at free-run step "
+            f"{int(collapsed[0]) + 1}/{cut}: the carried latent is a "
+            "batch-wide constant, so predictions are state-independent "
+            "from that horizon on (flat MSE curve, degenerate planning). "
+            "Usually an undertrained model whose hard-threshold eval "
+            "latents hit a fixed point the stochastic train path never "
+            "visits — train longer or inspect the causal graph.")
 
     print("MSE over {} timesteps: min {:.3f} max {:.3f}".format(
         timesteps, min(mse_losses), max(mse_losses)))

@@ -51,6 +51,25 @@ def test_measure_prediction_mse_artifacts(setup, tmp_path):
     np.testing.assert_allclose(loaded, mse)
 
 
+def test_latent_collapse_warning(setup, tmp_path, capsys):
+    """A transition that maps everything to the same constant latent must
+    trip the collapse warning (the failure mode is otherwise silent: the
+    MSE curve just goes flat — gridworld@10k post-mortem); a healthy
+    random-init model must not."""
+    import jax.numpy as jnp
+
+    ds, wm = setup
+    collapse_fn = lambda z, a: jnp.zeros_like(z)
+    measure_prediction_mse(wm, ds, train_iter=2, timesteps=8, batch_size=4,
+                           out_dir=str(tmp_path), make_plots=False,
+                           transition_fn=collapse_fn)
+    assert "latent collapse" in capsys.readouterr().out
+
+    measure_prediction_mse(wm, ds, train_iter=2, timesteps=8, batch_size=4,
+                           out_dir=str(tmp_path), make_plots=False)
+    assert "latent collapse" not in capsys.readouterr().out
+
+
 def test_mse_shell_script_extraction_contract(setup, tmp_path):
     """The metric shell scripts read MSE@H as line H+1 of the pretty-printed
     JSON (scripts/print_metrics_minipacman.sh:8-16) — the file must be a
