@@ -50,7 +50,8 @@ def _action_table(num_actions: int, lookahead: int, rollout_depth: int,
 
 @partial(jax.jit, static_argnames=("num_actions", "lookahead", "rollout_depth",
                                    "rollout_policy", "negative_positive_tradeoff",
-                                   "use_int8", "int8_tail", "share_prefix"))
+                                   "use_int8", "int8_tail", "share_prefix",
+                                   "rollout_samples"))
 def rollout_reward_table(
     params: WorldModel,
     z: jax.Array,
@@ -64,6 +65,7 @@ def rollout_reward_table(
     int8_tail: bool = False,
     qt=None,
     share_prefix: bool = True,
+    rollout_samples: int = 1,
 ):
     """Expected best cumulative reward per first action.
 
@@ -84,7 +86,28 @@ def rollout_reward_table(
         calibrate_transition for per-channel calibrated scales (much
         higher rank fidelity than the static-scale default).
     The reward-scoring head (predict_reward) is always exact.
+
+    ``rollout_samples`` > 1 (beyond the reference): the deterministic
+    hard-threshold rollout is chaotic — epsilon perturbations diverge into
+    different trajectories, so a plan's score is one noisy draw and
+    near-tie argmaxes flip (measured: bf16-exact control agrees with f32
+    only 53%, BENCH_NOTES).  Instead of scoring ONE deterministic future
+    per plan, replicate the beam K times and roll the tail with the
+    model's own straight-through-Bernoulli sampling (the distribution the
+    transition was trained under), then average each plan's cumulative
+    reward over the K replicas — a Monte-Carlo estimate of the plan's
+    EXPECTED return that integrates out the chaos instead of inheriting
+    it.  The whole K-times-wider beam is still one compiled program.
+    Requires ``key``; exact path only (sampling happens in the float
+    sigmoid domain the int8 kernels never materialize).
     """
+    if rollout_samples > 1:
+        if use_int8 or int8_tail:
+            raise ValueError(
+                "rollout_samples > 1 needs the exact stochastic transition "
+                "(int8 kernels carry binary latents, nothing to sample)")
+        if key is None:
+            raise ValueError("rollout_samples > 1 requires a PRNG key")
     if use_int8 or int8_tail:
         from scmgan_tpu.models.quantized import (
             quantize_transition,
@@ -137,20 +160,39 @@ def rollout_reward_table(
             cumulative = cumulative + predict_reward(params.reward_predictor,
                                                      z_beam)
 
+    if rollout_samples > 1:
+        # K replicas per plan, replica-major so scores reshape to
+        # (K, width); the enumerated head is shared (deterministic), only
+        # the tail explores the sampled futures.
+        z_beam = jnp.tile(z_beam, (rollout_samples, 1, 1, 1))
+        cumulative = jnp.tile(cumulative, (rollout_samples, 1))
+        sample_key = jax.random.fold_in(key, 0x5A)
+
     def step(carry, a_t):
-        z_beam, cum = carry
+        z_beam, cum, k = carry
+        if rollout_samples > 1:
+            a_t = jnp.tile(a_t, rollout_samples)  # replica-major, like z_beam
         a_oh = jax.nn.one_hot(a_t, num_actions, dtype=z_beam.dtype)
-        z_beam = tail_fn(z_beam, a_oh)
+        if rollout_samples > 1:
+            k, sub = jax.random.split(k)
+            z_beam = transition(params.transition, z_beam, a_oh,
+                                key=sub, train=True)
+        else:
+            z_beam = tail_fn(z_beam, a_oh)
         z_beam = jax.lax.stop_gradient(z_beam)
         cum = cum + predict_reward(params.reward_predictor, z_beam)
-        return (z_beam, cum), None
+        return (z_beam, cum, k), None
 
-    (_, cumulative), _ = jax.lax.scan(
-        step, (z_beam, cumulative), jnp.swapaxes(table[:, 1 + lookahead:], 0, 1))
+    scan_key = sample_key if rollout_samples > 1 else jax.random.PRNGKey(0)
+    (_, cumulative, _), _ = jax.lax.scan(
+        step, (z_beam, cumulative, scan_key),
+        jnp.swapaxes(table[:, 1 + lookahead:], 0, 1))
 
     # Heuristic caution: weight reward channel 0 (main.py:483-484).
     cumulative = cumulative.at[:, 0].multiply(negative_positive_tradeoff)
-    scores = jnp.sum(cumulative, axis=1)                      # (width,)
+    scores = jnp.sum(cumulative, axis=1)                      # (K*width,)
+    if rollout_samples > 1:
+        scores = scores.reshape(rollout_samples, width).mean(axis=0)
     per_first = scores.reshape(num_actions, -1)               # (A, A^lookahead)
     return jnp.max(per_first, axis=1)
 
@@ -158,14 +200,16 @@ def rollout_reward_table(
 def make_planner(params: WorldModel, num_actions: int, lookahead: int = 2,
                  rollout_depth: int = 12, rollout_policy: str = "noop",
                  negative_positive_tradeoff: float = 10.0,
-                 use_int8: bool = False, int8_tail: bool = False, qt=None):
+                 use_int8: bool = False, int8_tail: bool = False, qt=None,
+                 rollout_samples: int = 1):
     """Returns plan(z, key=None) -> (best_action, scores)."""
 
     def plan(z, key=None):
         scores = rollout_reward_table(
             params, z, num_actions, lookahead, rollout_depth,
             rollout_policy, negative_positive_tradeoff, key=key,
-            use_int8=use_int8, int8_tail=int8_tail, qt=qt)
+            use_int8=use_int8, int8_tail=int8_tail, qt=qt,
+            rollout_samples=rollout_samples)
         return int(jnp.argmax(scores)), scores
 
     return plan

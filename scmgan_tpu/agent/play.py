@@ -29,7 +29,7 @@ def play(params: WorldModel, datasource, max_steps: int = 300,
          rollout_depth: int = 12, lookahead: int = 2,
          negative_positive_tradeoff: float = 10.0, out_dir: str = ".",
          verbose: bool = True, seed: Optional[int] = None,
-         use_int8: bool = False):
+         use_int8: bool = False, rollout_samples: int = 1):
     """Returns (cumulative_reward, steps).  Writes video + metrics file."""
     num_actions = datasource.binary_input_channels
     env = datasource.make_env(screen_size=512)
@@ -73,10 +73,13 @@ def play(params: WorldModel, datasource, max_steps: int = 300,
     cumulative_negative = 0.0
     t = 2
     done = False
+    plan_key = jax.random.PRNGKey(seed if seed is not None else int(time.time()))
     while not done:
         scores = rollout_reward_table(
             params, z, num_actions, lookahead, rollout_depth, "noop",
-            negative_positive_tradeoff, use_int8=use_int8, qt=qt)
+            negative_positive_tradeoff, use_int8=use_int8, qt=qt,
+            key=jax.random.fold_in(plan_key, t) if rollout_samples > 1 else None,
+            rollout_samples=rollout_samples)
         max_a = int(jnp.argmax(scores))
 
         obs, reward, done, info = env.step(max_a)

@@ -80,6 +80,12 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("--mpc-int8", action="store_true",
                    help="Route the MPC planning beam through the int8 "
                         "serving transition (~2.2x faster)")
+    p.add_argument("--mpc-samples", type=int, default=1,
+                   help="Monte-Carlo rollouts per plan: roll the beam tail "
+                        "K times with the model's own Bernoulli sampling "
+                        "and score each plan by its MEAN return, instead "
+                        "of one chaotic deterministic future (exact path "
+                        "only)")
     p.add_argument("--student", type=str, default=None,
                    help="Directory of a distilled serving transition "
                         "(scripts/distill_student.py output): swaps it in "
@@ -128,6 +134,7 @@ def config_from_args(args):
         eval_batch_size=args.eval_batch_size,
         eval_timesteps=args.eval_timesteps,
         iters_per_video=args.iters_per_video,
+        mpc_samples=args.mpc_samples,
     )
 
 
@@ -201,7 +208,8 @@ def main(argv=None):
                  rollout_depth=cfg.mpc_rollout_depth,
                  lookahead=cfg.mpc_lookahead,
                  negative_positive_tradeoff=cfg.mpc_negative_tradeoff,
-                 out_dir=cfg.out_dir, use_int8=args.mpc_int8)
+                 out_dir=cfg.out_dir, use_int8=args.mpc_int8,
+                 rollout_samples=cfg.mpc_samples)
         print(f"Finished {cfg.evaluations} playthroughs")
         evaluate(state.params, datasource, train_iter=cfg.start_iter,
                  use_training_set=True, out_dir=cfg.out_dir,

@@ -84,6 +84,7 @@ class Config:
     mpc_lookahead: int = 2
     mpc_negative_tradeoff: float = 10.0
     mpc_max_steps: int = 300           # episode time limit (main.py:393-395)
+    mpc_samples: int = 1               # Monte-Carlo rollouts per plan (ours)
 
     @property
     def pdtype(self):

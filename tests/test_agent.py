@@ -51,6 +51,42 @@ def test_rollout_reward_table_shapes(setup, key):
     assert np.all(np.isfinite(np.asarray(scores)))
 
 
+def test_rollout_samples_monte_carlo(setup, key):
+    """K>1 averages the tail over sampled-latent rollouts: finite scores,
+    reproducible under the same key, different under a different key, and
+    guarded against invalid combinations."""
+    ds, wm = setup
+    z = (jax.random.uniform(key, (1, 16, 16, 8)) > 0.5).astype(jnp.float32)
+    k1, k2 = jax.random.split(key)
+    a = rollout_reward_table(wm, z, 4, rollout_depth=4, key=k1,
+                             rollout_samples=4)
+    assert a.shape == (4,) and np.all(np.isfinite(np.asarray(a)))
+    b = rollout_reward_table(wm, z, 4, rollout_depth=4, key=k1,
+                             rollout_samples=4)
+    np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+    c = rollout_reward_table(wm, z, 4, rollout_depth=4, key=k2,
+                             rollout_samples=4)
+    assert not np.array_equal(np.asarray(a), np.asarray(c))
+
+    with pytest.raises(ValueError, match="PRNG key"):
+        rollout_reward_table(wm, z, 4, rollout_depth=4, rollout_samples=2)
+    with pytest.raises(ValueError, match="exact stochastic"):
+        rollout_reward_table(wm, z, 4, rollout_depth=4, key=k1,
+                             rollout_samples=2, use_int8=True)
+
+
+def test_rollout_samples_shares_head(setup, key):
+    """With zero tail (rollout_depth == lookahead) the sampled path must
+    equal the deterministic path exactly — the enumerated head is shared
+    and sampling only touches the tail."""
+    ds, wm = setup
+    z = (jax.random.uniform(key, (1, 16, 16, 8)) > 0.5).astype(jnp.float32)
+    det = rollout_reward_table(wm, z, 4, lookahead=2, rollout_depth=2)
+    mc = rollout_reward_table(wm, z, 4, lookahead=2, rollout_depth=2,
+                              key=key, rollout_samples=3)
+    np.testing.assert_allclose(np.asarray(det), np.asarray(mc), rtol=1e-6)
+
+
 def test_rollout_reward_deterministic(setup, key):
     ds, wm = setup
     z = (jax.random.uniform(key, (1, 16, 16, 8)) > 0.5).astype(jnp.float32)
