@@ -108,6 +108,54 @@ def test_fused_transition_matches_xla(monkeypatch, key):
     assert match > 0.995, match
 
 
+def test_fused_decoder_matches_xla(monkeypatch, key):
+    from jax.experimental import pallas as pl
+
+    import scmgan_tpu.ops.pallas.fused_decoder as fd
+    from scmgan_tpu.models import decode_fused, init_world_model
+
+    orig = pl.pallas_call
+
+    def interp(*a, **k):
+        k["interpret"] = True
+        return orig(*a, **k)
+
+    monkeypatch.setattr(fd.pl, "pallas_call", interp)
+
+    wm = init_world_model(key, 16, 4, 1, 3, 3)
+    z = (jax.random.uniform(key, (2, 64, 64, 16)) > 0.5).astype(jnp.float32)
+    ref = decode_fused(wm.decoder, z.astype(jnp.bfloat16))
+    out = fd.fused_decode(wm.decoder, z)
+    assert out.shape == ref.shape
+    # both paths run the convs in bf16; the kernel's f32 accumulation can
+    # only be more accurate — compare at bf16 resolution
+    np.testing.assert_allclose(np.asarray(out, np.float32),
+                               np.asarray(ref, np.float32),
+                               rtol=0.02, atol=0.02)
+
+
+def test_fused_decoder_zero_boundary(monkeypatch, key):
+    """The decoder is SAME zero-padded, not circular: a lone bright latent
+    pixel at the image corner must not leak to the opposite edge."""
+    from jax.experimental import pallas as pl
+
+    import scmgan_tpu.ops.pallas.fused_decoder as fd
+    from scmgan_tpu.models import decode_fused, init_world_model
+
+    orig = pl.pallas_call
+    monkeypatch.setattr(
+        fd.pl, "pallas_call",
+        lambda *a, **k: orig(*a, **{**k, "interpret": True}))
+
+    wm = init_world_model(key, 16, 4, 1, 3, 3)
+    z = jnp.zeros((1, 16, 16, 16)).at[0, 0, 0, :].set(1.0)
+    ref = decode_fused(wm.decoder, z.astype(jnp.bfloat16))
+    out = fd.fused_decode(wm.decoder, z)
+    np.testing.assert_allclose(np.asarray(out, np.float32),
+                               np.asarray(ref, np.float32),
+                               rtol=0.02, atol=0.02)
+
+
 def test_pack_transition_weights_shapes(key):
     from scmgan_tpu.models import init_world_model
     from scmgan_tpu.ops.pallas.fused_transition import pack_transition_weights
