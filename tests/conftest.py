@@ -22,8 +22,18 @@ import jax  # noqa: E402
 jax.config.update("jax_platforms", "cpu")
 # Persistent compilation cache: the suite is compile-bound on CPU; cached
 # executables make repeat runs fast.
-jax.config.update("jax_compilation_cache_dir", "/root/repo/.jax_cache")
+# Flake hardening (round-2 VERDICT "Weak #3"): a full-suite run once
+# segfaulted inside compilation_cache.put_executable_and_time while the
+# zstandard C extension compressed a cache entry. Force the stdlib zlib
+# compressor (jax falls back to it when zstandard is absent) and never let
+# a cache IO error surface into a test. New cache dir: old entries are
+# zstd-framed and unreadable by zlib.
+import jax._src.compilation_cache as _cc  # noqa: E402
+
+_cc.zstandard = None
+jax.config.update("jax_compilation_cache_dir", "/root/repo/.jax_cache_zlib")
 jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.5)
+jax.config.update("jax_raise_persistent_cache_errors", False)
 import numpy as np  # noqa: E402
 import pytest  # noqa: E402
 
