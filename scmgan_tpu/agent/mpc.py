@@ -32,6 +32,9 @@ def _action_table(num_actions: int, lookahead: int, rollout_depth: int,
     Plan structure per future: [first_action, l1, l2, ..., noop/random...]
     — first action enumerated, then an exhaustive lookahead block, then the
     rollout policy (noop action index 0, reference main.py:467-471).
+    For the ``greedy`` tail policy the table's tail entries are ignored
+    (actions are chosen on-device per step); the table still fixes the
+    enumerated head and the tail length.
     """
     width = num_actions ** (lookahead + 1)
     seqs = np.zeros((width, rollout_depth + 1), np.int64)
@@ -168,19 +171,47 @@ def rollout_reward_table(
         cumulative = jnp.tile(cumulative, (rollout_samples, 1))
         sample_key = jax.random.fold_in(key, 0x5A)
 
+    # step-reward weights used both for the greedy tail's argmax and the
+    # final score (tradeoff on channel 0, main.py:483-484)
+    num_rewards = cumulative.shape[1]
+    w_reward = jnp.ones((num_rewards,), jnp.float32).at[0].set(
+        negative_positive_tradeoff)
+
+    def _sampled_or_tail(zb, a_oh, k):
+        if rollout_samples > 1:
+            return transition(params.transition, zb, a_oh, key=k, train=True)
+        return tail_fn(zb, a_oh)
+
     def step(carry, a_t):
         z_beam, cum, k = carry
-        if rollout_samples > 1:
-            a_t = jnp.tile(a_t, rollout_samples)  # replica-major, like z_beam
-        a_oh = jax.nn.one_hot(a_t, num_actions, dtype=z_beam.dtype)
-        if rollout_samples > 1:
-            k, sub = jax.random.split(k)
-            z_beam = transition(params.transition, z_beam, a_oh,
-                                key=sub, train=True)
+        k, sub = jax.random.split(k)
+        if rollout_policy == "greedy":
+            # Beyond the reference's noop/random tails: a compiled
+            # 1-step-greedy rollout policy.  Each tail step evaluates all
+            # A successors of every beam state and follows the argmax of
+            # the tradeoff-weighted predicted step reward — so a plan's
+            # tail value estimates "act sensibly afterwards" instead of
+            # "freeze" (noop) or "thrash" (random).  Costs A x the tail
+            # transitions; the whole thing is still one scan.
+            wb = z_beam.shape[0]
+            zz = jnp.repeat(z_beam, num_actions, axis=0)
+            aa = jnp.tile(jnp.arange(num_actions), wb)
+            a_oh = jax.nn.one_hot(aa, num_actions, dtype=z_beam.dtype)
+            z_next = _sampled_or_tail(zz, a_oh, sub)
+            r = predict_reward(params.reward_predictor, z_next)  # (wb*A, R)
+            r_w = (r.astype(jnp.float32) * w_reward).sum(-1)
+            choice = jnp.argmax(r_w.reshape(wb, num_actions), axis=1)
+            pick = lambda x: x.reshape((wb, num_actions) + x.shape[1:])[
+                jnp.arange(wb), choice]
+            z_beam = pick(z_next)
+            cum = cum + pick(r)
         else:
-            z_beam = tail_fn(z_beam, a_oh)
+            if rollout_samples > 1:
+                a_t = jnp.tile(a_t, rollout_samples)  # replica-major
+            a_oh = jax.nn.one_hot(a_t, num_actions, dtype=z_beam.dtype)
+            z_beam = _sampled_or_tail(z_beam, a_oh, sub)
+            cum = cum + predict_reward(params.reward_predictor, z_beam)
         z_beam = jax.lax.stop_gradient(z_beam)
-        cum = cum + predict_reward(params.reward_predictor, z_beam)
         return (z_beam, cum, k), None
 
     scan_key = sample_key if rollout_samples > 1 else jax.random.PRNGKey(0)

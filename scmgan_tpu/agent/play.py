@@ -29,8 +29,24 @@ def play(params: WorldModel, datasource, max_steps: int = 300,
          rollout_depth: int = 12, lookahead: int = 2,
          negative_positive_tradeoff: float = 10.0, out_dir: str = ".",
          verbose: bool = True, seed: Optional[int] = None,
-         use_int8: bool = False, rollout_samples: int = 1):
-    """Returns (cumulative_reward, steps).  Writes video + metrics file."""
+         use_int8: bool = False, rollout_samples: int = 1,
+         rollout_policy: str = "noop", stall_patience: int = 10):
+    """Returns (cumulative_reward, steps).  Writes video + metrics file.
+
+    ``rollout_policy``: tail policy for the planning beam — the
+    reference's "noop"/"random" (main.py:467-471) plus our compiled
+    1-step-"greedy" tail (agent/mpc.py).
+
+    ``stall_patience``: anti-stall countermeasure (0 disables).  The
+    deterministic beam has a failure mode where the model hallucinates
+    future reward for an action that doesn't change the real state, and
+    the argmax replays it forever (observed on gridworld: 3/10 episodes
+    scored 0 stuck at a wall).  If the feature frame is bit-identical
+    for ``stall_patience`` consecutive real steps, one uniformly random
+    different action is taken to break the fixed point; planning resumes
+    from the new state.  The reference has the same trap and no
+    countermeasure.
+    """
     num_actions = datasource.binary_input_channels
     env = datasource.make_env(screen_size=512)
     no_op = 3 % num_actions  # reference literally uses 3 (main.py:335)
@@ -74,13 +90,23 @@ def play(params: WorldModel, datasource, max_steps: int = 300,
     t = 2
     done = False
     plan_key = jax.random.PRNGKey(seed if seed is not None else int(time.time()))
+    stall_rng = np.random.default_rng(seed if seed is not None else 0)
+    stalled = 0
+    prev_frame = np.asarray(state_list[-1])
+    needs_key = rollout_samples > 1 or rollout_policy == "random"
     while not done:
         scores = rollout_reward_table(
-            params, z, num_actions, lookahead, rollout_depth, "noop",
+            params, z, num_actions, lookahead, rollout_depth, rollout_policy,
             negative_positive_tradeoff, use_int8=use_int8, qt=qt,
-            key=jax.random.fold_in(plan_key, t) if rollout_samples > 1 else None,
+            key=jax.random.fold_in(plan_key, t) if needs_key else None,
             rollout_samples=rollout_samples)
         max_a = int(jnp.argmax(scores))
+        if stall_patience and stalled >= stall_patience:
+            others = [a for a in range(num_actions) if a != max_a]
+            max_a = int(stall_rng.choice(others)) if others else max_a
+            stalled = 0
+            if verbose:
+                print(f"t={t} stall break: random action {max_a}")
 
         obs, reward, done, info = env.step(max_a)
         rewards_info = [v for v in info.values()] if len(info) > 1 else []
@@ -102,7 +128,10 @@ def play(params: WorldModel, datasource, max_steps: int = 300,
             print(f"t={t} curr. r={cumulative_reward:.02f} future r: {score_strs}")
         vid.write_frame(rgb_state, resize_to=(512, 512), caption=caption)
 
-        state_list = state_list[1:] + [np.asarray(ftr_state)]
+        ftr_np = np.asarray(ftr_state)
+        stalled = stalled + 1 if np.array_equal(ftr_np, prev_frame) else 0
+        prev_frame = ftr_np
+        state_list = state_list[1:] + [ftr_np]
         z = encode_window(state_list)
         z = transition(params.transition, z, onehot(max_a), train=False)
         t += 1

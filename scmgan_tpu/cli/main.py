@@ -74,9 +74,10 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("--causal-runs", type=int, default=10,
                    help="Batches to max over for the causal graph "
                         "(reference uses 10, main.py:514)")
-    p.add_argument("--higgins-iters", type=int, default=100,
+    p.add_argument("--higgins-iters", type=int, default=500,
                    help="Classifier training iterations for the Higgins "
-                        "metric")
+                        "metric (reference conv protocol default, "
+                        "higgins.py:91)")
     p.add_argument("--mpc-int8", action="store_true",
                    help="Route the MPC planning beam through the int8 "
                         "serving transition (~2.2x faster)")
@@ -86,6 +87,27 @@ def build_parser() -> argparse.ArgumentParser:
                         "and score each plan by its MEAN return, instead "
                         "of one chaotic deterministic future (exact path "
                         "only)")
+    p.add_argument("--mpc-lookahead", type=int, default=2,
+                   help="Enumerated action prefix length of the planning "
+                        "beam (reference: 2, main.py:456)")
+    p.add_argument("--mpc-depth", type=int, default=12,
+                   help="Planning beam rollout depth (reference: 12)")
+    p.add_argument("--mpc-policy", type=str, default="noop",
+                   choices=["noop", "random", "greedy"],
+                   help="Beam tail policy: reference noop/random "
+                        "(main.py:467-471) or our compiled 1-step-greedy "
+                        "tail (argmax of predicted step reward)")
+    p.add_argument("--mpc-tradeoff", type=float, default=10.0,
+                   help="Planning-beam weight on reward channel 0 "
+                        "(main.py:483-484).  NOTE: in pos/neg-split envs "
+                        "(minipacman, sc2) channel 0 is the POSITIVE "
+                        "channel, so the reference's 10.0 is greed, not "
+                        "caution; values < 1 weight the negative channel "
+                        "up relatively (e.g. 0.1 = death-averse)")
+    p.add_argument("--mpc-stall-patience", type=int, default=10,
+                   help="Take one random action after N bit-identical "
+                        "real frames — breaks the reward-hallucination "
+                        "fixed point of the deterministic beam (0 = off)")
     p.add_argument("--student", type=str, default=None,
                    help="Directory of a distilled serving transition "
                         "(scripts/distill_student.py output): swaps it in "
@@ -135,6 +157,11 @@ def config_from_args(args):
         eval_timesteps=args.eval_timesteps,
         iters_per_video=args.iters_per_video,
         mpc_samples=args.mpc_samples,
+        mpc_lookahead=args.mpc_lookahead,
+        mpc_rollout_depth=args.mpc_depth,
+        mpc_policy=args.mpc_policy,
+        mpc_stall_patience=args.mpc_stall_patience,
+        mpc_negative_tradeoff=args.mpc_tradeoff,
     )
 
 
@@ -209,7 +236,9 @@ def main(argv=None):
                  lookahead=cfg.mpc_lookahead,
                  negative_positive_tradeoff=cfg.mpc_negative_tradeoff,
                  out_dir=cfg.out_dir, use_int8=args.mpc_int8,
-                 rollout_samples=cfg.mpc_samples)
+                 rollout_samples=cfg.mpc_samples,
+                 rollout_policy=cfg.mpc_policy,
+                 stall_patience=cfg.mpc_stall_patience)
         print(f"Finished {cfg.evaluations} playthroughs")
         evaluate(state.params, datasource, train_iter=cfg.start_iter,
                  use_training_set=True, out_dir=cfg.out_dir,

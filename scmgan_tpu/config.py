@@ -85,6 +85,10 @@ class Config:
     mpc_negative_tradeoff: float = 10.0
     mpc_max_steps: int = 300           # episode time limit (main.py:393-395)
     mpc_samples: int = 1               # Monte-Carlo rollouts per plan (ours)
+    mpc_policy: str = "noop"           # beam tail: noop|random (main.py:467)
+                                       # or our compiled 1-step greedy
+    mpc_stall_patience: int = 10       # anti-stall random kick after N
+                                       # identical real frames (0 = off)
 
     @property
     def pdtype(self):
