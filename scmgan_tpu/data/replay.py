@@ -285,7 +285,8 @@ class HostReplayDatasource:
                  max_trajectory_len: int = 150, seed: int = 0,
                  policy=None, warmup_steps: int = 0, warmup_action: int = 0,
                  split_reward=None, sync_refill_factor: Optional[int] = None,
-                 name: str = "host", height: int = 64, width: int = 64):
+                 name: str = "host", height: int = 64, width: int = 64,
+                 n_actors: int = 1):
         self.binary_input_channels = num_actions
         self.scalar_output_channels = num_rewards
         self.conv_input_channels = channels
@@ -302,12 +303,26 @@ class HostReplayDatasource:
         # max(batch - len(buffer), ceil(batch / factor)) fresh episodes.
         self.sync_refill_factor = sync_refill_factor
         self.buffer = ReplayBuffer(capacity=capacity, seed=seed)
-        self.actor = HostActor(make_env, self.buffer, num_rewards,
-                               convert_frame, policy=policy,
-                               max_trajectory_len=max_trajectory_len,
-                               warmup_steps=warmup_steps,
-                               warmup_action=warmup_action,
-                               split_reward=split_reward)
+        # N daemon actors, one shared (locked) buffer: the reference keeps
+        # a slow host env (SC2, ~seconds/episode) from starving the trainer
+        # by stepping a batch of envs in a 4-worker pool
+        # (reference multi_env.py:8-39).  Here the equivalent lever is
+        # n_actors > 1 — each actor owns its own emulator process and
+        # plays whole episodes concurrently into the same buffer, so
+        # ingest rate scales with actor count while get_trajectories
+        # stays unchanged.
+        if n_actors < 1:
+            raise ValueError(f"n_actors must be >= 1, got {n_actors}")
+        self.actors = [
+            HostActor(make_env, self.buffer, num_rewards,
+                      convert_frame, policy=policy,
+                      max_trajectory_len=max_trajectory_len,
+                      warmup_steps=warmup_steps,
+                      warmup_action=warmup_action,
+                      split_reward=split_reward)
+            for _ in range(n_actors)
+        ]
+        self.actor = self.actors[0]  # sync-refill + back-compat handle
         self._started = False
         self._rng = np.random.default_rng(seed)
         # per-split (training bool -> (version, arenas...)) stitch cache
@@ -332,16 +347,26 @@ class HostReplayDatasource:
 
     def _ensure_started(self):
         if not self._started:
-            self.actor.start()
+            for a in self.actors:
+                a.start()
             self._started = True
-        if not self.actor.is_alive():
+        dead = [a for a in self.actors if not a.is_alive()]
+        if dead:
+            # one crashed actor is fatal, like the reference's single-actor
+            # liveness check (envs/minipacman.py:126-128) — a silent
+            # degrade would skew the data distribution toward the
+            # surviving actors' seeds
             raise RuntimeError(
-                f"Simulator thread crashed: {self.actor.error!r}")
+                f"Simulator thread crashed "
+                f"({len(dead)}/{len(self.actors)} actors): "
+                f"{dead[0].error!r}")
 
     def close(self):
-        """Stop the background actor and close its emulator (idempotent)."""
+        """Stop the background actors and close their emulators
+        (idempotent)."""
         if self._started:
-            self.actor.stop()
+            for a in self.actors:
+                a.stop()
             self._started = False
 
     def make_env(self, *args, **kwargs):
