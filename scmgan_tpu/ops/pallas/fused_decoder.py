@@ -140,19 +140,24 @@ def _fused_call(packed, x):
         cost_estimate=pl.CostEstimate(
             flops=2 * b * h * w * 9 * latent_pad * (w1s := packed["w1"].shape[-1])
             + 2 * b * h * w * 9 * w1s * color_pad,
-            bytes_accessed=x.size * 2 + b * h * w * color_pad * 2,
+            # activations + weights/biases; the constant index map keeps
+            # the ~75 KB of weights VMEM-resident, so they are fetched
+            # once, not once per grid step.
+            bytes_accessed=x.size * 2 + b * h * w * color_pad * 2
+            + sum(int(a.size) * a.dtype.itemsize for a in args),
             transcendentals=0),
     )(x, *args)
 
 
-def fused_decode(params: dict, z: jax.Array) -> jax.Array:
-    """Drop-in inference replacement for models.world_model.decode_fused.
+def fused_decode_packed(packed: dict, z: jax.Array) -> jax.Array:
+    """fused_decode with weights already prepared by pack_decoder_weights.
 
-    z: (B, H, W, latent) binary latents (any float/int dtype);
-    returns pixel logits (B, H, W, color) in bfloat16.
+    Pack once OUTSIDE any rollout loop: packing does device work (kernel
+    flips, the per-factor sum, padding), and calling fused_decode inside a
+    lax.scan body would place those ops in the loop-body HLO, relying on
+    XLA loop-invariant hoisting that is not guaranteed for the reduce.
     """
     b, h, w, latent_dim = z.shape
-    packed = pack_decoder_weights(params, latent_dim)
     latent_pad = int(packed["latent_pad"])
     z = z.astype(jnp.bfloat16)
     if latent_pad != latent_dim:
@@ -161,3 +166,16 @@ def fused_decode(params: dict, z: jax.Array) -> jax.Array:
         {k: v for k, v in packed.items()
          if k not in ("latent_pad", "color_pad", "color")}, z)
     return out[..., : packed["color"]]
+
+
+def fused_decode(params: dict, z: jax.Array) -> jax.Array:
+    """Drop-in inference replacement for models.world_model.decode_fused.
+
+    z: (B, H, W, latent) binary latents (any float/int dtype);
+    returns pixel logits (B, H, W, color) in bfloat16.
+
+    Re-packs the weights on every call — for per-frame or in-loop use,
+    pack once with pack_decoder_weights and call fused_decode_packed.
+    """
+    packed = pack_decoder_weights(params, z.shape[-1])
+    return fused_decode_packed(packed, z)

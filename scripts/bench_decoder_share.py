@@ -5,7 +5,10 @@ BENCH_NOTES (round 2) measured the bf16 decoder chain at 0.89 ms/step
 (~12% of wall) at the h128 teacher.  At h48 the transition is ~13x
 cheaper, so the decoder's fixed cost is a much larger fraction — this
 script isolates it: free-run throughput with the decoder vs transition
-only, at each tracked student width, real weights.
+only, at each tracked student width.  Checkpoints: student transitions
+load their tracked bundles; the decoder and the h128 transition are
+randomly initialized (throughput is weight-value-independent — the
+program, shapes, and dtypes are what is being timed).
 
 Usage: python scripts/bench_decoder_share.py [h48 h64 ...]
 """
@@ -48,7 +51,10 @@ def measure(hidden: int, decode_mode: str) -> float:
     if hidden == 128:
         qt = quantize_transition(params.transition)
     else:
-        npz = f"pretrained_models/minipacman_student_h{hidden}/model-transition.npz"
+        npz = os.path.join(
+            os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
+            f"pretrained_models/minipacman_student_h{hidden}/"
+            "model-transition.npz")
         tmpl = init_transition(key, latent, spec.num_actions, hidden=hidden)
         qt = quantize_transition(load_pytree(npz, tmpl))
     z0 = (jax.random.uniform(key, (BATCH, spec.height, spec.width, latent))
@@ -58,7 +64,14 @@ def measure(hidden: int, decode_mode: str) -> float:
         spec.num_actions, dtype=jnp.bfloat16)
 
     if decode_mode == "pallas":
-        from scmgan_tpu.ops.pallas.fused_decoder import fused_decode
+        from scmgan_tpu.ops.pallas.fused_decoder import (
+            fused_decode_packed,
+            pack_decoder_weights,
+        )
+
+        # pack once outside the scan: keeps the flip/sum/pad ops out of
+        # the loop-body HLO so only the kernel itself is timed
+        packed = pack_decoder_weights(dec, latent)
 
     @jax.jit
     def free_run(z0, actions):
@@ -67,7 +80,7 @@ def measure(hidden: int, decode_mode: str) -> float:
             if decode_mode == "xla":
                 frame = jax.nn.sigmoid(decode_fused(dec, z.astype(jnp.bfloat16)))
             elif decode_mode == "pallas":
-                frame = jax.nn.sigmoid(fused_decode(dec, z))
+                frame = jax.nn.sigmoid(fused_decode_packed(packed, z))
             else:
                 return z, jnp.sum(z, dtype=jnp.float32)
             return z, jnp.sum(frame, dtype=jnp.float32)
