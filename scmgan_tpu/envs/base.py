@@ -132,7 +132,18 @@ def rollout(
             fresh,
         )
         next_actions = _policy_actions(spec, k_act, batch_size, policy)
-        return (states, next_actions), (obs, rewards, dones, actions)
+        # Emit NEXT_ACTIONS, not the action just applied: the reference's
+        # collection loop records, at index t, the action chosen AFTER
+        # seeing state t — i.e. obs[t+1] = step(obs[t], actions[t])
+        # (reference envs/gridworld.py:77-92: step(actions) then reassign
+        # actions then append).  Emitting the just-applied action instead
+        # shifts the whole dataset by one: every training/eval consumer
+        # indexes the reference way (transition(z_t, act[t]) -> obs[t+1]),
+        # so the transition would be conditioned on the action that
+        # produced its INPUT — an uninformative signal under a random
+        # collection policy, which silently trains an action-independent
+        # model (tests/test_envs.py::test_rollout_action_alignment).
+        return (states, next_actions), (obs, rewards, dones, next_actions)
 
     (_, _), (obs, rewards, dones, actions) = jax.lax.scan(
         scan_step, (states, actions0), jax.random.split(k_scan, timesteps)

@@ -150,3 +150,68 @@ def test_pong_simulator_for_higgins():
     factors = np.random.default_rng(0).uniform(size=(4, spec.true_latent_dim))
     frames = spec.simulator(factors)
     assert frames.shape == (4, 3, 64, 64, 3)
+
+
+def test_rollout_action_alignment(key):
+    """actions[t] must be the action applied AT obs[t] that produces
+    obs[t+1] — the reference's recording convention (envs/gridworld.py:
+    77-92: step, reassign actions, append).  A probe env encodes its
+    scalar state into every pixel, so the emitted arrays expose the
+    convention exactly: obs[t+1] - obs[t] == actions[t] + 1."""
+    from scmgan_tpu.envs.base import EnvSpec
+
+    def reset(k):
+        return jnp.float32(0.0)
+
+    def step(state, action, k):
+        new = state + action.astype(jnp.float32) + 1.0
+        return new, jnp.zeros((1,), jnp.float32) + new, jnp.bool_(False)
+
+    def render(state):
+        return jnp.full((4, 4, 1), state, jnp.float32)
+
+    spec = EnvSpec(name="probe", num_actions=3, num_rewards=1, channels=1,
+                   height=4, width=4, reset=reset, step=step, render=render)
+    obs, rewards, dones, actions = rollout(spec, key, 2, 8)
+    obs, rewards, actions = (np.asarray(x) for x in (obs, rewards, actions))
+    for b in range(2):
+        for t in range(7):
+            assert obs[b, t + 1, 0, 0, 0] - obs[b, t, 0, 0, 0] == (
+                actions[b, t] + 1), (b, t)
+        # rewards[t] is the reward received ENTERING obs[t] (unchanged)
+        np.testing.assert_allclose(rewards[b, :, 0], obs[b, :, 0, 0, 0])
+
+
+def test_gridworld_rollout_actions_explain_ball_motion(key):
+    """End-to-end alignment check on a real env: each frame delta must be
+    consistent with the recorded action at the SAME index (up to wall
+    clipping), never require the previous one."""
+    spec = get_env("gridworld")
+    obs, _, _, actions = rollout(spec, key, 4, 12)
+    obs, actions = np.asarray(obs), np.asarray(actions)
+
+    def center(frame):
+        ys, xs = np.nonzero(frame[:, :, 1])
+        if len(xs) == 0:
+            return None
+        return xs.mean(), ys.mean()
+
+    checked = 0
+    for b in range(4):
+        for t in range(11):
+            p0, p1 = center(obs[b, t]), center(obs[b, t + 1])
+            if p0 is None or p1 is None:
+                continue
+            dx, dy = p1[0] - p0[0], p1[1] - p0[1]
+            a = int(actions[b, t])
+            edx = {2: -3.0, 3: 3.0}.get(a, 0.0)
+            edy = {0: -3.0, 1: 3.0}.get(a, 0.0)
+            # clipping at walls can shrink the step but never flips sign
+            assert (edx == 0 and abs(dx) < 1e-6) or (
+                edx != 0 and (dx == 0 or np.sign(dx) == np.sign(edx))), (
+                b, t, a, dx)
+            assert (edy == 0 and abs(dy) < 1e-6) or (
+                edy != 0 and (dy == 0 or np.sign(dy) == np.sign(edy))), (
+                b, t, a, dy)
+            checked += 1
+    assert checked > 20
