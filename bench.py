@@ -132,6 +132,16 @@ def _measure_path(path: str) -> float:
             tmpl = init_transition(key, latent, spec.num_actions,
                                    hidden=hidden)
             qt = quantize_transition(load_pytree(npz, tmpl))
+            # Serve the bundle's decoder, not a random init: throughput
+            # is weight-independent, but the measured program should be
+            # byte-identical to the served one (VERDICT r2 weak #7).
+            dec_npz = os.path.join(os.path.dirname(npz),
+                                   "model-decoder.npz")
+            if os.path.exists(dec_npz):
+                dec = load_pytree(dec_npz, params.decoder)
+                params_c = params_c._replace(decoder=jax.tree.map(
+                    lambda x: x.astype(cdt) if x.dtype == jnp.float32
+                    else x, dec))
         else:
             qt = quantize_transition(params.transition)
         tfn = transition_int8_v2

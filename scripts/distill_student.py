@@ -256,6 +256,11 @@ def main(argv=None):
                iters=args.iters, qat_from=args.qat_from)
     with open(os.path.join(out_dir, "fidelity.json"), "w") as f:
         json.dump(fid, f, indent=2)
+    # Ship the teacher decoder with the student so the serving bundle is
+    # self-contained: bench.py times transition+decode, and the decoder
+    # in the measured program must be byte-identical to the served one.
+    ckpt.save_pytree(os.path.join(out_dir, "model-decoder.npz"),
+                     tp.decoder)
     print(json.dumps(fid, indent=2))
 
 
