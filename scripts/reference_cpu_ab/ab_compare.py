@@ -158,6 +158,17 @@ def main():
             f"({h10['pixel_rel_diff'] * 100:.1f}% apart, inside the "
             f"reference's own ±{h10['ref_pixel_std']:.5f} band).**",
         ]
+    lines += [
+        "",
+        "The reward columns are NOT comparable on scalar-reward envs: the "
+        "reference's `get_trajectories` returns rewards shaped `(1, T, B)` "
+        "(`/root/reference/envs/gridworld.py:83,95`), so its eval "
+        "(`main.py:823-826`) broadcasts each trajectory's predicted reward "
+        "against the batch-SUMMED true reward — hence its huge, wildly "
+        "varying values. We return the intended `(B, T, num_rewards)` "
+        "(DIVERGENCES.md §7), so our column is a real per-trajectory "
+        "reward MSE. The pixel columns are unaffected.",
+    ]
     with open(args.out_md, "w") as f:
         f.write("\n".join(lines) + "\n")
     print(f"wrote {args.out_md} and {out_json}")
