@@ -146,8 +146,14 @@ def main():
         kw = ARMS[name]
         scores = []
         t0 = time.time()
+        # keep each arm's evaluation_metrics_*.txt score files so the
+        # winning arm's can be copied into the tracked bundle without
+        # re-running the episodes
+        arm_dir = os.path.join(os.path.dirname(out_path) or ".",
+                               f"mpc_scores_{args.env}", name)
+        os.makedirs(arm_dir, exist_ok=True)
         for ep in range(args.episodes):
-            r, _ = play(wm, ds, max_steps=args.max_steps, out_dir="/tmp",
+            r, _ = play(wm, ds, max_steps=args.max_steps, out_dir=arm_dir,
                         verbose=False, seed=ep, **kw)
             scores.append(r)
         results["arms"][name] = dict(summarize(scores), config=str(kw))
