@@ -21,6 +21,11 @@ sys.path.insert(0, os.path.join(os.path.dirname(__file__), ".."))
 
 import jax
 
+if os.environ.get("SCMGAN_FORCE_CPU"):
+    # sitecustomize registers the axon TPU plugin before env vars can
+    # win; an explicit config update before first backend use does.
+    jax.config.update("jax_platforms", "cpu")
+
 from scmgan_tpu.utils.compile_cache import setup_compile_cache
 
 # A fresh process otherwise recompiles every program over the axon
@@ -38,9 +43,10 @@ from scmgan_tpu.train import checkpoint as ckpt
 from scmgan_tpu.train.trainer import init_train_state
 
 ZOO = [
-    ("minipong", "runs/minipong_cf"),
-    ("boxes", "runs/boxes_cf"),
-    ("pong", "runs/pong_cf"),
+    # tracked bundles (retrained round 3 on action-aligned rollouts)
+    ("minipong", "pretrained_models/minipong_cf"),
+    ("boxes", "pretrained_models/boxes_cf"),
+    ("pong", "pretrained_models/pong_cf"),
     # ablation grid (5k iters, pong): does the counterfactual recipe
     # change spatial-factor identifiability vs plain BPTT / LO?
     ("pong", "runs/grid_bptt"),
@@ -72,12 +78,14 @@ def main():
         state = init_train_state(cfg, spec, jax.random.PRNGKey(0))
         state = ckpt.load_train_state(run_dir, state)
         enc = make_encoder_fn(state.params.encoder)
+        # 500 probe-training iters = the reference protocol
+        # (reference higgins.py:22,91)
         conv_acc = higgins_metric_conv(
             spec.simulator, spec.true_latent_dim, enc, cfg.latent_dim,
-            train_iters=200)
+            train_iters=500)
         spatial_acc = higgins_metric_spatial(
             spec.simulator, spec.true_latent_dim, enc, cfg.latent_dim,
-            train_iters=200)
+            train_iters=500)
         chance = 1.0 / spec.true_latent_dim
         results[os.path.basename(run_dir)] = {
             "env": env_name,

@@ -34,6 +34,15 @@ import time
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 import jax
+
+if os.environ.get("SCMGAN_FORCE_CPU"):
+    # JAX_PLATFORMS=cpu is too late here: the image's sitecustomize
+    # registers the axon TPU plugin at interpreter startup.  An explicit
+    # config update before the first backend use is what wins (same
+    # trick as tests/conftest.py) — used to run the cheap random
+    # baseline on CPU in parallel with TPU planner arms.
+    jax.config.update("jax_platforms", "cpu")
+
 import numpy as np
 
 
@@ -131,17 +140,22 @@ def main():
         with open(out_path, "w") as f:
             json.dump(results, f, indent=2)
 
-    # random baseline (cheap: more episodes for a tight error bar)
-    t0 = time.time()
-    rand_scores = [play_random(spec, args.max_steps, seed=1000 + i)[0]
-                   for i in range(args.random_episodes)]
-    results["arms"]["random"] = summarize(rand_scores)
-    print(f"random: {results['arms']['random']['mean']:+.2f} "
-          f"+- {results['arms']['random']['stderr']:.2f} "
-          f"({time.time() - t0:.0f}s)")
-    flush()
+    # random baseline (cheap: more episodes for a tight error bar).
+    # --random-episodes 0 skips it (e.g. when the baseline is computed in
+    # a parallel CPU process — the env dynamics are identical on any
+    # backend — and merged into the sweep JSON afterwards).
+    if args.random_episodes > 0:
+        t0 = time.time()
+        rand_scores = [play_random(spec, args.max_steps, seed=1000 + i)[0]
+                       for i in range(args.random_episodes)]
+        results["arms"]["random"] = summarize(rand_scores)
+        print(f"random: {results['arms']['random']['mean']:+.2f} "
+              f"+- {results['arms']['random']['stderr']:.2f} "
+              f"({time.time() - t0:.0f}s)")
+        flush()
 
-    arm_names = (args.arms.split(",") if args.arms else list(ARMS))
+    arm_names = ([] if args.arms == "none"
+                 else args.arms.split(",") if args.arms else list(ARMS))
     for name in arm_names:
         kw = ARMS[name]
         scores = []
