@@ -22,18 +22,36 @@ import jax  # noqa: E402
 jax.config.update("jax_platforms", "cpu")
 # Persistent compilation cache: the suite is compile-bound on CPU; cached
 # executables make repeat runs fast.
-# Flake hardening (round-2 VERDICT "Weak #3"): a full-suite run once
-# segfaulted inside compilation_cache.put_executable_and_time while the
-# zstandard C extension compressed a cache entry. Force the stdlib zlib
-# compressor (jax falls back to it when zstandard is absent) and never let
-# a cache IO error surface into a test. New cache dir: old entries are
-# zstd-framed and unreadable by zlib.
+#
+# The cache dir is keyed by a MACHINE FINGERPRINT (round-4 root-cause
+# find; history in VERDICT r2 "Weak #3" / r3 "Weak #2").  JAX's cache key
+# does not include the host CPU feature/tuning set, and this repo's
+# working tree persists across rounds while the attached VM changes — so
+# earlier rounds' suites were loading XLA:CPU AOT executables compiled on
+# a DIFFERENT machine (the loader logs "Machine type used for XLA:CPU
+# compilation doesn't match the machine type for execution ... could lead
+# to execution errors such as SIGILL").  That is the prime suspect for
+# the rounds-2/3 full-suite deaths (`Fatal Python error: Aborted` inside
+# put_executable_and_time at 242/247 — the same tests pass in isolation,
+# where few foreign entries have been loaded), and for a round-4
+# fork-isolation experiment that turned the crash into a SIGSEGV inside
+# executable.serialize().  With per-fingerprint dirs a machine only ever
+# loads AOT code it compiled itself; writes stay enabled (they are normal
+# jax behavior on native entries).  SCMGAN_TEST_CACHE_WRITE=0 opts the
+# suite into read-only mode as an escape hatch.
 import jax._src.compilation_cache as _cc  # noqa: E402
 
-_cc.zstandard = None
-jax.config.update("jax_compilation_cache_dir", "/root/repo/.jax_cache_zlib")
+from scmgan_tpu.utils.compile_cache import machine_fingerprint  # noqa: E402
+
+_cc.zstandard = None  # stdlib zlib: entries stay readable without zstd
+_CACHE_DIR = os.path.join("/root/repo/.jax_cache_zlib",
+                          machine_fingerprint())
+jax.config.update("jax_compilation_cache_dir", _CACHE_DIR)
 jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.5)
 jax.config.update("jax_raise_persistent_cache_errors", False)
+
+if os.environ.get("SCMGAN_TEST_CACHE_WRITE") == "0":
+    _cc.put_executable_and_time = lambda *a, **k: None
 import numpy as np  # noqa: E402
 import pytest  # noqa: E402
 
