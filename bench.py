@@ -50,9 +50,35 @@ def _validated_student():
     64x64 MiniPacman rollouts (BASELINE.md) — a student for a smaller env
     would inflate frames/s with cheaper frames.
 
+    A gate is admitted only if it is SELF-VERIFYING: fidelity.json must
+    record the teacher weight hash, and that hash must match the teacher
+    bundle shipped in the repo (the recorded ``teacher`` path, or its
+    pretrained_models/ export).  This closes round-3 "Weak #1" — stale
+    gates measured against a teacher that no longer exists cannot be
+    served.  The bundle must also ship model-decoder.npz so the measured
+    program equals the served one (ADVICE r3).
+
     Searched in runs/ (scratch) and pretrained_models/ (git-tracked
     bundles, so a fresh checkout still benches the student path)."""
     import glob
+
+    from scmgan_tpu.train.checkpoint import bundle_hash
+
+    hash_cache = {}
+
+    def teacher_ok(fid):
+        want = fid.get("teacher_hash")
+        if not want:
+            return False
+        rec = fid.get("teacher", "")
+        for cand in (rec, os.path.join("pretrained_models",
+                                       os.path.basename(rec.rstrip("/")))):
+            if cand and os.path.isdir(cand):
+                if cand not in hash_cache:
+                    hash_cache[cand] = bundle_hash(cand)
+                if hash_cache[cand] == want:
+                    return True
+        return False
 
     best = None
     for fid_path in (glob.glob("runs/*student*/fidelity.json")
@@ -60,12 +86,24 @@ def _validated_student():
         try:
             with open(fid_path) as f:
                 fid = json.load(f)
-            npz = os.path.join(os.path.dirname(fid_path),
-                               "model-transition.npz")
-            if (fid.get("within_1pct") and fid.get("env") == "minipacman"
+            d = os.path.dirname(fid_path)
+            npz = os.path.join(d, "model-transition.npz")
+            if not (fid.get("within_1pct") and fid.get("env") == "minipacman"
                     and os.path.exists(npz)):
-                if best is None or fid["hidden"] < best[0]:
-                    best = (int(fid["hidden"]), npz, fid)
+                continue
+            if not teacher_ok(fid):
+                print(f"bench: SKIPPING {fid_path}: teacher hash "
+                      f"{fid.get('teacher_hash')!r} does not match any "
+                      "shipped teacher bundle (stale or unverifiable gate)",
+                      file=sys.stderr)
+                continue
+            if not os.path.exists(os.path.join(d, "model-decoder.npz")):
+                print(f"bench: SKIPPING {os.path.dirname(fid_path)}: no "
+                      "model-decoder.npz (served decoder must ship with "
+                      "the student bundle)", file=sys.stderr)
+                continue
+            if best is None or fid["hidden"] < best[0]:
+                best = (int(fid["hidden"]), npz, fid)
         except Exception:
             continue
     return best

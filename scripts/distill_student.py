@@ -253,7 +253,11 @@ def main(argv=None):
         fid["within_1pct"] = (fid["mse10_delta_pct"] is not None
                               and fid["mse10_delta_pct"] <= 1.0)
     fid.update(env=args.env, teacher=args.teacher, hidden=args.hidden,
-               iters=args.iters, qat_from=args.qat_from)
+               iters=args.iters, qat_from=args.qat_from,
+               # self-verifying gate: the hash of the teacher this
+               # fidelity was measured against (bench.py and
+               # tests/test_pretrained_gates.py refuse stale gates)
+               teacher_hash=ckpt.bundle_hash(args.teacher))
     with open(os.path.join(out_dir, "fidelity.json"), "w") as f:
         json.dump(fid, f, indent=2)
     # Ship the teacher decoder with the student so the serving bundle is

@@ -49,6 +49,11 @@ def main():
                          "lowered for short CPU runs so a final checkpoint "
                          "exists")
     ap.add_argument("--seed", type=int, default=0)
+    ap.add_argument("--skip-mse", action="store_true",
+                    help="also skip measure_prediction_mse during "
+                         "training (for 64x64 envs its 100x100 free-run "
+                         "costs ~30 CPU-min per eval; ab_paired.py runs "
+                         "its own paired eval on the checkpoints)")
     opts = ap.parse_args()
 
     os.environ.setdefault("MPLBACKEND", "Agg")
@@ -81,6 +86,8 @@ def main():
     # Keep measure_prediction_mse (JSON artifacts); skip mp4 composites.
     ref_main.visualize_forward_simulation = lambda *a, **k: None
     ref_main.visualize_reconstruction = lambda *a, **k: None
+    if opts.skip_mse:
+        ref_main.measure_prediction_mse = lambda *a, **k: None
 
     # torch-version shim: the reference's envs return numpy views with
     # swapped strides (np.swapaxes, envs/gridworld.py:94-97) and its
