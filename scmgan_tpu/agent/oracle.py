@@ -87,6 +87,72 @@ def oracle_rollout_scores(
     return jnp.max(scores.reshape(num_actions, -1), axis=1)
 
 
+@partial(jax.jit, static_argnames=(
+    "spec", "max_steps", "lookahead", "rollout_depth", "rollout_policy",
+    "negative_positive_tradeoff", "samples"))
+def _oracle_episodes(seeds, spec: EnvSpec, max_steps: int, lookahead: int,
+                     rollout_depth: int, rollout_policy: str,
+                     negative_positive_tradeoff: float, samples: int):
+    """All oracle episodes as one compiled program (same pattern as
+    agent/play_device.py; episode protocol of play_oracle below, PRNG
+    chain of HostEnv so seeds line up with the host loop)."""
+    no_op = 3 % spec.num_actions
+
+    def one_episode(seed):
+        env_key = jax.random.PRNGKey(seed)
+        plan_key = jax.random.PRNGKey(seed)
+        env_key, sub = jax.random.split(env_key)
+        state = spec.reset(sub)
+        env_key, sub = jax.random.split(env_key)
+        state, _, _ = spec.step(state, jnp.int32(no_op), sub)
+        env_key, sub = jax.random.split(env_key)
+        state, _, _ = spec.step(state, jnp.int32(no_op), sub)
+
+        def body(carry, t):
+            state, env_key, cum, alive = carry
+            scores = oracle_rollout_scores(
+                spec, state, spec.num_actions, lookahead, rollout_depth,
+                rollout_policy, negative_positive_tradeoff,
+                key=jax.random.fold_in(plan_key, t), samples=samples)
+            a = jnp.argmax(scores).astype(jnp.int32)
+            env_key, sub = jax.random.split(env_key)
+            state, reward_vec, done = spec.step(state, a, sub)
+            cum = cum + jnp.sum(reward_vec.astype(jnp.float32)) * alive
+            inc = alive
+            alive = alive * (1.0 - done.astype(jnp.float32))
+            return (state, env_key, cum, alive), inc
+
+        (_, _, cum, _), incs = jax.lax.scan(
+            body, (state, env_key, jnp.float32(0.0), jnp.float32(1.0)),
+            jnp.arange(2, max_steps + 1))
+        return cum, jnp.int32(2 + jnp.sum(incs))
+
+    return jax.vmap(one_episode)(seeds)
+
+
+def play_oracle_on_device(spec: EnvSpec, episodes: int = 10,
+                          max_steps: int = 300, lookahead: int = 2,
+                          rollout_depth: int = 12,
+                          rollout_policy: str = "noop",
+                          negative_positive_tradeoff: float = 10.0,
+                          samples: int = 1, seed0: int = 0,
+                          verbose: bool = True):
+    """Batched on-device oracle control; returns (rewards, steps) lists."""
+    import time
+
+    seeds = jnp.arange(seed0, seed0 + episodes, dtype=jnp.int32)
+    t0 = time.time()
+    cum, steps = _oracle_episodes(
+        seeds, spec, max_steps, lookahead, rollout_depth, rollout_policy,
+        float(negative_positive_tradeoff), samples)
+    cum = [float(x) for x in np.asarray(cum)]
+    steps = [int(x) for x in np.asarray(steps)]
+    if verbose:
+        print(f"play_oracle_on_device: {episodes} episodes in "
+              f"{time.time() - t0:.1f}s  rewards={cum}")
+    return cum, steps
+
+
 def play_oracle(spec: EnvSpec, max_steps: int = 300, lookahead: int = 2,
                 rollout_depth: int = 12, rollout_policy: str = "noop",
                 negative_positive_tradeoff: float = 10.0,

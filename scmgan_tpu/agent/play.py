@@ -30,7 +30,8 @@ def play(params: WorldModel, datasource, max_steps: int = 300,
          negative_positive_tradeoff: float = 10.0, out_dir: str = ".",
          verbose: bool = True, seed: Optional[int] = None,
          use_int8: bool = False, rollout_samples: int = 1,
-         rollout_policy: str = "noop", stall_patience: int = 10):
+         rollout_policy: str = "noop", stall_patience: int = 10,
+         env=None, write_video: bool = True):
     """Returns (cumulative_reward, steps).  Writes video + metrics file.
 
     ``rollout_policy``: tail policy for the planning beam — the
@@ -48,7 +49,9 @@ def play(params: WorldModel, datasource, max_steps: int = 300,
     countermeasure.
     """
     num_actions = datasource.binary_input_channels
-    env = datasource.make_env(screen_size=512)
+    # ``env`` override: a pre-seeded HostEnv (parity tests pin the device
+    # play loop against this one by sharing the env PRNG chain)
+    env = env if env is not None else datasource.make_env(screen_size=512)
     no_op = 3 % num_actions  # reference literally uses 3 (main.py:335)
 
     obs = env.reset()
@@ -82,8 +85,8 @@ def play(params: WorldModel, datasource, max_steps: int = 300,
                            key=jax.random.PRNGKey(seed or 0))
 
     ts = int(time.time())
-    vid = Video(os.path.join(out_dir, f"SimpleRolloutAgent-{ts}.mp4"),
-                framerate=10)
+    vid = (Video(os.path.join(out_dir, f"SimpleRolloutAgent-{ts}.mp4"),
+                 framerate=10) if write_video else None)
     cumulative_reward = 0.0
     cumulative_positive = 0.0
     cumulative_negative = 0.0
@@ -126,7 +129,8 @@ def play(params: WorldModel, datasource, max_steps: int = 300,
         if verbose:
             score_strs = " ".join(f"{float(s):.02f}" for s in np.asarray(scores))
             print(f"t={t} curr. r={cumulative_reward:.02f} future r: {score_strs}")
-        vid.write_frame(rgb_state, resize_to=(512, 512), caption=caption)
+        if vid is not None:
+            vid.write_frame(rgb_state, resize_to=(512, 512), caption=caption)
 
         ftr_np = np.asarray(ftr_state)
         stalled = stalled + 1 if np.array_equal(ftr_np, prev_frame) else 0
@@ -138,7 +142,8 @@ def play(params: WorldModel, datasource, max_steps: int = 300,
         if t > max_steps:
             print("Ending evaluation due to time limit")
             break
-    vid.finish()
+    if vid is not None:
+        vid.finish()
     msg = f"Finished at t={t} with cumulative reward {cumulative_reward}"
     with open(os.path.join(out_dir, f"evaluation_metrics_{int(time.time())}.txt"),
               "w") as fp:

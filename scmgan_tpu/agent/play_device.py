@@ -1,0 +1,174 @@
+"""Whole-episode MPC evaluation as ONE compiled program.
+
+The host play loop (agent/play.py, reference main.py:327-400) makes
+4-6 device calls per environment step; under a remote-attached TPU each
+call pays tunnel latency, so a 300-step episode costs minutes of
+wall-clock while the chip sits idle.  For the pure-JAX environment zoo
+nothing in the episode needs the host: this module compiles the ENTIRE
+protocol — reset, 3 no-op seed frames, per-step planning beam
+(agent/mpc.rollout_reward_table), real-env step, pos/neg reward split,
+rolling 3-frame re-encode, anti-stall kick, 300-step cap — into a single
+``vmap(scan(step))`` program over all episodes at once.  An episode
+sweep that took ~80 minutes host-side executes in seconds of device
+time.
+
+Protocol parity with agent/play.py is exact by construction:
+  * the same PRNG chain as HostEnv (PRNGKey(seed), one split per
+    reset/step — envs/base.py:165-191) drives reset and env stepping, so
+    for a deterministic-dynamics env an episode's trajectory is
+    IDENTICAL to the host loop's for the same seed (pinned by
+    tests/test_play_device.py);
+  * rewards during the two no-op seed steps are discarded, accumulation
+    is masked after done, and the cap matches the host loop's
+    ``t > max_steps`` break (t runs 2..max_steps inclusive);
+  * score files use the reference's format (main.py:397-399).
+
+Divergences (documented): the anti-stall random kick draws from
+jax.random instead of the host loop's numpy generator (same
+uniform-over-other-actions distribution), and episodes that end early
+still execute masked steps on device (results unaffected).
+"""
+
+from __future__ import annotations
+
+import os
+import time
+from functools import partial
+from typing import Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from scmgan_tpu.agent.mpc import rollout_reward_table
+from scmgan_tpu.envs.base import EnvSpec
+from scmgan_tpu.models.world_model import WorldModel, encode, transition
+
+
+@partial(jax.jit, static_argnames=(
+    "spec", "num_actions", "max_steps", "lookahead", "rollout_depth",
+    "rollout_policy", "negative_positive_tradeoff", "rollout_samples",
+    "stall_patience"))
+def _play_episodes(
+    params: WorldModel,
+    seeds: jax.Array,
+    spec: EnvSpec,
+    num_actions: int,
+    max_steps: int,
+    lookahead: int,
+    rollout_depth: int,
+    rollout_policy: str,
+    negative_positive_tradeoff: float,
+    rollout_samples: int,
+    stall_patience: int,
+):
+    """(cum_reward, cum_pos, cum_neg, steps) per episode — all episodes
+    in one program."""
+    needs_key = rollout_samples > 1 or rollout_policy == "random"
+    no_op = 3 % num_actions
+    no_op_oh = jax.nn.one_hot(jnp.int32(no_op), num_actions)[None]
+
+    def one_episode(seed):
+        env_key = jax.random.PRNGKey(seed)
+        plan_key = jax.random.PRNGKey(seed)
+        stall_key = jax.random.PRNGKey(seed + 977_351)
+
+        # HostEnv key chain: one split per reset/step (envs/base.py:173-175)
+        env_key, sub = jax.random.split(env_key)
+        state = spec.reset(sub)
+        s0 = spec.render(state)
+        env_key, sub = jax.random.split(env_key)
+        state, _, _ = spec.step(state, jnp.int32(no_op), sub)
+        s1 = spec.render(state)
+        env_key, sub = jax.random.split(env_key)
+        state, _, _ = spec.step(state, jnp.int32(no_op), sub)
+        s2 = spec.render(state)
+        window = jnp.stack([s0, s1, s2])                 # (3, H, W, C)
+
+        z = encode(params.encoder, window[None])
+        z = transition(params.transition, z, no_op_oh, train=False)
+
+        def body(carry, t):
+            state, env_key, window, z, cum, pos, neg, alive, stalled = carry
+            scores = rollout_reward_table(
+                params, z, num_actions, lookahead, rollout_depth,
+                rollout_policy, negative_positive_tradeoff,
+                key=(jax.random.fold_in(plan_key, t) if needs_key
+                     else None),
+                rollout_samples=rollout_samples)
+            max_a = jnp.argmax(scores).astype(jnp.int32)
+            if stall_patience:
+                kick = stalled >= stall_patience
+                r = jax.random.randint(jax.random.fold_in(stall_key, t),
+                                       (), 0, num_actions - 1)
+                rand_a = (r + (r >= max_a)).astype(jnp.int32)
+                max_a = jnp.where(kick, rand_a, max_a)
+                stalled = jnp.where(kick, 0, stalled)
+
+            env_key, sub = jax.random.split(env_key)
+            state, reward_vec, done = spec.step(state, max_a, sub)
+            rv = reward_vec.astype(jnp.float32)
+            cum = cum + jnp.sum(rv) * alive
+            pos = pos + jnp.sum(jnp.maximum(rv, 0.0)) * alive
+            neg = neg - jnp.sum(jnp.minimum(rv, 0.0)) * alive
+
+            frame = spec.render(state)
+            same = jnp.all(frame == window[-1])
+            stalled = jnp.where(same, stalled + 1, 0)
+            window = jnp.concatenate([window[1:], frame[None]], axis=0)
+            z = encode(params.encoder, window[None])
+            z = transition(params.transition, z,
+                           jax.nn.one_hot(max_a, num_actions)[None],
+                           train=False)
+            steps_inc = alive
+            alive = alive * (1.0 - done.astype(jnp.float32))
+            return (state, env_key, window, z, cum, pos, neg, alive,
+                    stalled), steps_inc
+
+        carry0 = (state, env_key, window, z, jnp.float32(0.0),
+                  jnp.float32(0.0), jnp.float32(0.0), jnp.float32(1.0),
+                  jnp.int32(0))
+        ts = jnp.arange(2, max_steps + 1)
+        (_, _, _, _, cum, pos, neg, _, _), incs = jax.lax.scan(
+            body, carry0, ts)
+        # host loop: t starts at 2 and increments once per executed step
+        return cum, pos, neg, jnp.int32(2 + jnp.sum(incs))
+
+    return jax.vmap(one_episode)(seeds)
+
+
+def play_on_device(params: WorldModel, datasource, episodes: int = 10,
+                   max_steps: int = 300, rollout_depth: int = 12,
+                   lookahead: int = 2,
+                   negative_positive_tradeoff: float = 10.0,
+                   rollout_policy: str = "noop", rollout_samples: int = 1,
+                   stall_patience: int = 10, seed0: int = 0,
+                   out_dir: Optional[str] = None, verbose: bool = True):
+    """Run ``episodes`` MPC episodes fully on device; returns
+    (rewards list, steps list).  Episode e uses seed ``seed0 + e`` —
+    the same seed the host loop would use, driving the same env PRNG
+    chain.  Writes reference-format ``evaluation_metrics_<ts>.txt``
+    score files when ``out_dir`` is given (main.py:397-399).
+
+    Exact-path planner only (the int8 beam is a host-play knob)."""
+    spec = datasource.spec if hasattr(datasource, "spec") else datasource
+    seeds = jnp.arange(seed0, seed0 + episodes, dtype=jnp.int32)
+    t0 = time.time()
+    cum, pos, neg, steps = _play_episodes(
+        params, seeds, spec, spec.num_actions, max_steps, lookahead,
+        rollout_depth, rollout_policy, float(negative_positive_tradeoff),
+        rollout_samples, stall_patience)
+    cum = [float(x) for x in np.asarray(cum)]
+    steps = [int(x) for x in np.asarray(steps)]
+    if verbose:
+        print(f"play_on_device: {episodes} episodes in "
+              f"{time.time() - t0:.1f}s  rewards={cum}")
+    if out_dir:
+        os.makedirs(out_dir, exist_ok=True)
+        ts = int(time.time())
+        for i, (r, t) in enumerate(zip(cum, steps)):
+            msg = f"Finished at t={t} with cumulative reward {r}"
+            with open(os.path.join(
+                    out_dir, f"evaluation_metrics_{ts + i}.txt"), "w") as fp:
+                fp.write(msg + "\n")
+    return cum, steps

@@ -69,9 +69,17 @@ def _import_layer(sd: Dict, prefix: str, *, kind: str = "conv",
         w = _conv_w(sd[f"{prefix}.module.weight_bar"])
         b = jnp.asarray(_to_np(sd[f"{prefix}.module.bias"]))
         u = jnp.asarray(_to_np(sd[f"{prefix}.module.weight_u"]))
-        # v's flattening order differs between matricizations; re-derive.
+        # Reproduce the reference's FIRST-forward effective weight
+        # exactly: its wrapper runs one power iteration from the stored u
+        # before computing sigma (spectral_normalization.py:29-35; v is
+        # overwritten before use, so only u carries state).  One
+        # iteration here yields the identical (u1, v1) pair in our
+        # matricization.  (An earlier build converged with 100
+        # iterations, which REPLACED the checkpoint's partially-converged
+        # sigma with the true sigma-1 — measured as a systematic +6-7%
+        # short-horizon MSE delta on the paired A/B before the fix.)
         u2, v2 = sn_power_iteration(w, u, jnp.zeros((w.size // w.shape[-1],),
-                                                    w.dtype), iters=100)
+                                                    w.dtype), iters=1)
         return {"w": w, "b": b,
                 "sn": {"u": u2.astype(w.dtype), "v": v2.astype(w.dtype)}}
     if kind == "convT":

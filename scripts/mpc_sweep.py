@@ -113,6 +113,17 @@ def main():
     ap.add_argument("--arms", type=str, default=None,
                     help="comma-separated arm names (default: all)")
     ap.add_argument("--skip-oracle", action="store_true")
+    ap.add_argument("--device", action="store_true",
+                    help="run each arm's episodes as ONE compiled "
+                         "on-device program (agent/play_device.py) "
+                         "instead of the host play loop — identical "
+                         "protocol, pinned by tests/test_play_device.py; "
+                         "~2 orders of magnitude less wall-clock on a "
+                         "remote-attached chip")
+    ap.add_argument("--episodes-per-call", type=int, default=10,
+                    help="device mode: episode batch per program call "
+                         "(memory knob; the beam is episodes x width "
+                         "wide)")
     ap.add_argument("--oracle-samples", type=int, default=4)
     ap.add_argument("--out", type=str, default=None)
     args = ap.parse_args()
@@ -166,10 +177,20 @@ def main():
         arm_dir = os.path.join(os.path.dirname(out_path) or ".",
                                f"mpc_scores_{args.env}", name)
         os.makedirs(arm_dir, exist_ok=True)
-        for ep in range(args.episodes):
-            r, _ = play(wm, ds, max_steps=args.max_steps, out_dir=arm_dir,
-                        verbose=False, seed=ep, **kw)
-            scores.append(r)
+        if args.device:
+            from scmgan_tpu.agent.play_device import play_on_device
+
+            for ep0 in range(0, args.episodes, args.episodes_per_call):
+                n = min(args.episodes_per_call, args.episodes - ep0)
+                rs, _ = play_on_device(
+                    wm, ds, episodes=n, max_steps=args.max_steps,
+                    out_dir=arm_dir, verbose=False, seed0=ep0, **kw)
+                scores.extend(rs)
+        else:
+            for ep in range(args.episodes):
+                r, _ = play(wm, ds, max_steps=args.max_steps,
+                            out_dir=arm_dir, verbose=False, seed=ep, **kw)
+                scores.append(r)
         results["arms"][name] = dict(summarize(scores), config=str(kw))
         print(f"{name}: {results['arms'][name]['mean']:+.2f} "
               f"+- {results['arms'][name]['stderr']:.2f} "
@@ -183,11 +204,22 @@ def main():
         ]:
             scores = []
             t0 = time.time()
-            for ep in range(args.episodes):
-                r, _ = play_oracle(spec, max_steps=args.max_steps,
-                                   samples=args.oracle_samples,
-                                   seed=ep, **okw)
-                scores.append(r)
+            if args.device:
+                from scmgan_tpu.agent.oracle import play_oracle_on_device
+
+                for ep0 in range(0, args.episodes, args.episodes_per_call):
+                    n = min(args.episodes_per_call, args.episodes - ep0)
+                    rs, _ = play_oracle_on_device(
+                        spec, episodes=n, max_steps=args.max_steps,
+                        samples=args.oracle_samples, seed0=ep0,
+                        verbose=False, **okw)
+                    scores.extend(rs)
+            else:
+                for ep in range(args.episodes):
+                    r, _ = play_oracle(spec, max_steps=args.max_steps,
+                                       samples=args.oracle_samples,
+                                       seed=ep, **okw)
+                    scores.append(r)
             results["arms"][oname] = dict(summarize(scores),
                                           config=str(okw))
             print(f"{oname}: {results['arms'][oname]['mean']:+.2f} "

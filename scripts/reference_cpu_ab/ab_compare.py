@@ -42,8 +42,11 @@ def main():
                          "the mse_*_iter_{iter:06d}.json files)")
     ap.add_argument("--platform", default=None, choices=[None, "cpu"],
                     help="force the JAX platform (default: image default)")
-    ap.add_argument("--out-md", default=os.path.join(REPO, "docs",
-                                                     "reference_ab.md"))
+    # default no longer docs/reference_ab.md: that file is now a curated
+    # document whose top section holds the paired-design results
+    # (ab_paired.py); writing there would clobber them
+    ap.add_argument("--out-md", default=os.path.join(
+        REPO, "docs", "reference_ab_independent.md"))
     ap.add_argument("--seed", type=int, default=0)
     args = ap.parse_args()
 

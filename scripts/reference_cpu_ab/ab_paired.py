@@ -23,9 +23,10 @@ TWO spectral-norm cadences to decompose that divergence:
               u/v inside every forward, INCLUDING eval forwards
               (/root/reference/spectral_normalization.py:66-68), so the
               effective weights drift over the 98-step free-run;
-  sn=frozen — power iteration skipped (weights still normalized by
-              sigma from the stored u/v) — the semantics this repo uses
-              at eval (DIVERGENCES.md §1).
+  sn=frozen — one power iteration applied per layer at load (the
+              reference's first-forward state, which train/torch_import
+              reproduces), then frozen for the whole free-run — the
+              semantics this repo uses at eval (DIVERGENCES.md §1).
 
 ours-vs-frozen isolates pure pipeline/arithmetic parity (expected ~0);
 ours-vs-live measures the full behavioral delta including the one
@@ -90,6 +91,10 @@ def main():
     ap.add_argument("--sn", default="both",
                     choices=["both", "live", "frozen"],
                     help="reference-column spectral-norm cadence arms")
+    ap.add_argument("--seed-base", type=int, default=20_000,
+                    help="trajectory-set seeds are seed_base+s; use a "
+                         "different base to extend an earlier run with "
+                         "fresh replicates (pool the per_set lists)")
     ap.add_argument("--out-json", default=None)
     args = ap.parse_args()
 
@@ -161,7 +166,7 @@ def main():
     replicates = []
     t_start = time.time()
     for s in range(args.sets):
-        np.random.seed(20_000 + s)
+        np.random.seed(args.seed_base + s)
         states, rewards, dones, actions = (
             np.ascontiguousarray(x) for x in ds_ref.get_trajectories(
                 batch_size=args.batch_size, timesteps=args.timesteps))
@@ -175,9 +180,17 @@ def main():
         ref_curves = {}
         try:
             for mode in sn_modes:
-                ref_sn.SpectralNorm._update_u_v = (
-                    _update_live if mode == "live" else _update_frozen)
+                ref_sn.SpectralNorm._update_u_v = _update_live
                 enc, dec, rp, trans = build_and_load()
+                if mode == "frozen":
+                    # advance every SN layer to its first-forward state
+                    # (one live iteration — what torch_import reproduces),
+                    # then freeze sigma there for the whole free-run
+                    for net in (enc, dec, rp, trans):
+                        for m in net.modules():
+                            if isinstance(m, ref_sn.SpectralNorm):
+                                _update_live(m)
+                    ref_sn.SpectralNorm._update_u_v = _update_frozen
                 cwd = os.getcwd()
                 tmp = tempfile.mkdtemp(
                     prefix=f"ab_paired_{args.env}_{s}_{mode}_")
@@ -252,8 +265,10 @@ def main():
     result = {
         "env": args.env, "ckpt": os.path.relpath(ckpt, REPO),
         "train_iter": args.iter, "sets": args.sets,
+        "seed_base": args.seed_base,
         "batch_size": args.batch_size, "timesteps": args.timesteps,
         "horizons": rows,
+        "replicate_curves": replicates,
         "note": "paired design: both columns evaluate identical weights "
                 "on the identical fixed trajectory set per replicate; "
                 "both eval pipelines are deterministic, so within-set "

@@ -57,11 +57,18 @@ def _plain_dict(prefix, out_ch, in_ch, k=3, seed=0, transpose=False):
 
 
 def _sn_effective_weight(sd, prefix):
-    """Torch-side sigma-normalized weight using the TRUE leading singular
-    value (the importer's 20 power iterations converge to the same)."""
+    """Torch-side sigma-normalized weight with the reference's exact
+    first-forward semantics: ONE power iteration from the stored u
+    (spectral_normalization.py:29-35 — v is overwritten before use), NOT
+    the converged singular value.  torch_import mirrors this."""
     w = sd[f"{prefix}.module.weight_bar"]
     m = w.reshape(w.shape[0], -1).numpy()
-    sigma = np.linalg.svd(m, compute_uv=False)[0]
+    u = sd[f"{prefix}.module.weight_u"].numpy()
+    v = m.T @ u
+    v = v / (np.linalg.norm(v) + 1e-12)
+    u1 = m @ v
+    u1 = u1 / (np.linalg.norm(u1) + 1e-12)
+    sigma = float(u1 @ (m @ v))
     return w / sigma
 
 
