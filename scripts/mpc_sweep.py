@@ -124,6 +124,12 @@ def main():
                     help="device mode: episode batch per program call "
                          "(memory knob; the beam is episodes x width "
                          "wide)")
+    ap.add_argument("--seed0", type=int, default=0,
+                    help="first episode seed; also seeds the datasource "
+                         "env chain, so N parallel sweep processes with "
+                         "disjoint seed0 ranges produce independent "
+                         "episodes (host play is tunnel-latency-bound — "
+                         "parallel processes overlap the latency)")
     ap.add_argument("--oracle-samples", type=int, default=4)
     ap.add_argument("--out", type=str, default=None)
     args = ap.parse_args()
@@ -134,7 +140,7 @@ def main():
     from scmgan_tpu.models import init_world_model
     from scmgan_tpu.train import checkpoint as ckpt
 
-    ds = allocate_datasource(args.env)
+    ds = allocate_datasource(args.env, seed=args.seed0)
     spec = ds.spec
     wm = init_world_model(
         jax.random.PRNGKey(0), 16, ds.binary_input_channels,
@@ -189,7 +195,8 @@ def main():
         else:
             for ep in range(args.episodes):
                 r, _ = play(wm, ds, max_steps=args.max_steps,
-                            out_dir=arm_dir, verbose=False, seed=ep, **kw)
+                            out_dir=arm_dir, verbose=False,
+                            seed=args.seed0 + ep, **kw)
                 scores.append(r)
         results["arms"][name] = dict(summarize(scores), config=str(kw))
         print(f"{name}: {results['arms'][name]['mean']:+.2f} "

@@ -27,14 +27,31 @@ def _load_module(path, name):
     return mod
 
 
+def _fake_teacher(tmp_path):
+    """Minimal teacher bundle whose bundle_hash the student gates cite
+    (gates without a verifiable teacher_hash are refused — round-4
+    self-verifying-gate rule)."""
+    from scmgan_tpu.train.checkpoint import bundle_hash
+
+    teacher = tmp_path / "pretrained_models" / "minipacman_cf"
+    teacher.mkdir(parents=True, exist_ok=True)
+    for f in ("model-encoder.npz", "model-transition.npz",
+              "model-decoder.npz", "model-reward_predictor.npz"):
+        np.savez(teacher / f, w=np.ones(2, np.float32))
+    return str(teacher), bundle_hash(str(teacher))
+
+
 @pytest.fixture()
 def fake_run(tmp_path):
+    teacher, thash = _fake_teacher(tmp_path)
     run = tmp_path / "runs" / "minipacman_student_h48"
     run.mkdir(parents=True)
     np.savez(run / "model-transition.npz", w=np.zeros(3, np.float32))
+    np.savez(run / "model-decoder.npz", w=np.zeros(3, np.float32))
     (run / "fidelity.json").write_text(json.dumps({
         "env": "minipacman", "hidden": 48, "within_1pct": True,
-        "mse10_delta_pct": 0.4}))
+        "mse10_delta_pct": 0.4, "teacher": "pretrained_models/minipacman_cf",
+        "teacher_hash": thash}))
     (run / "evaluation_metrics_123.txt").write_text("score 1.0\n")
     (run / "ignored.avi").write_text("not exported")
     return run
@@ -64,11 +81,16 @@ def test_bench_student_lookup_prefers_smallest_and_searches_both(
     # a second, smaller student only in pretrained_models/
     exporter.export(str(fake_run), name="minipacman_student_h32",
                     root=str(tmp_path / "pretrained_models"))
+    from scmgan_tpu.train.checkpoint import bundle_hash
+
+    thash = bundle_hash(str(tmp_path / "pretrained_models"
+                            / "minipacman_cf"))
     fid = tmp_path / "pretrained_models" / "minipacman_student_h32" / \
         "fidelity.json"
     fid.write_text(json.dumps({
         "env": "minipacman", "hidden": 32, "within_1pct": True,
-        "mse10_delta_pct": 0.9}))
+        "mse10_delta_pct": 0.9, "teacher": "pretrained_models/minipacman_cf",
+        "teacher_hash": thash}))
     monkeypatch.chdir(tmp_path)
     got = bench._validated_student()
     assert got is not None
@@ -77,6 +99,12 @@ def test_bench_student_lookup_prefers_smallest_and_searches_both(
     # failed gates and non-flagship envs are refused
     fid.write_text(json.dumps({
         "env": "minipacman", "hidden": 32, "within_1pct": False}))
+    assert bench._validated_student()[0] == 48
+    # a stale teacher hash (teacher retrained since the gate) is refused
+    fid.write_text(json.dumps({
+        "env": "minipacman", "hidden": 32, "within_1pct": True,
+        "mse10_delta_pct": 0.9, "teacher": "pretrained_models/minipacman_cf",
+        "teacher_hash": "deadbeefdeadbeef"}))
     assert bench._validated_student()[0] == 48
     (fake_run / "fidelity.json").write_text(json.dumps({
         "env": "gridworld", "hidden": 48, "within_1pct": True}))
