@@ -46,15 +46,25 @@ import jax._src.compilation_cache as _cc  # noqa: E402
 
 from scmgan_tpu.utils.compile_cache import machine_fingerprint  # noqa: E402
 
-_cc.zstandard = None  # stdlib zlib: entries stay readable without zstd
-_CACHE_DIR = os.path.join("/root/repo/.jax_cache_zlib",
-                          machine_fingerprint())
-jax.config.update("jax_compilation_cache_dir", _CACHE_DIR)
-jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.5)
-jax.config.update("jax_raise_persistent_cache_errors", False)
+if os.environ.get("SCMGAN_TEST_CACHE") == "0":
+    # No persistent cache at all: every program compiles fresh.  The
+    # robust mode for SINGLE-PROCESS full-suite runs — round 4 measured
+    # that with the cache on, full runs die late in the suite whichever
+    # way the cache is used (cold+writes: C-level abort in the write
+    # path; warm+read-only: SIGSEGV on an AOT load) while the same tests
+    # pass in small processes.  scripts/run_tests.sh --verify-only uses
+    # this mode; per-file runs keep the cache for speed.
+    pass
+else:
+    _cc.zstandard = None  # stdlib zlib: entries stay readable without zstd
+    _CACHE_DIR = os.path.join("/root/repo/.jax_cache_zlib",
+                              machine_fingerprint())
+    jax.config.update("jax_compilation_cache_dir", _CACHE_DIR)
+    jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.5)
+    jax.config.update("jax_raise_persistent_cache_errors", False)
 
-if os.environ.get("SCMGAN_TEST_CACHE_WRITE") == "0":
-    _cc.put_executable_and_time = lambda *a, **k: None
+    if os.environ.get("SCMGAN_TEST_CACHE_WRITE") == "0":
+        _cc.put_executable_and_time = lambda *a, **k: None
 import numpy as np  # noqa: E402
 import pytest  # noqa: E402
 
