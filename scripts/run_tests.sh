@@ -35,12 +35,19 @@ warm() {
 }
 
 verify() {
-  # cache fully OFF: round 4 measured single-process full runs dying
-  # late in the suite with the cache in ANY mode (cold+writes: C abort
-  # in the write path; warm+read-only: SIGSEGV on an AOT load), while
-  # the same tests pass in small per-file processes.  Fresh compiles
-  # are slower (~cold-suite time) but have no cache code path at all.
-  SCMGAN_TEST_CACHE=0 python -m pytest tests/ -q
+  # Round-4 repro matrix for the late-suite crash: a SINGLE-process full
+  # run dies around test ~230 in EVERY cache mode — cold+writes (C-level
+  # abort in the cache write path), warm+read-only (SIGSEGV), and cache
+  # fully off (SIGSEGV in compile) — while the same tests always pass in
+  # small processes.  The trigger is the number of XLA:CPU programs
+  # compiled by one process, not the cache: an upstream JIT bug this
+  # repo cannot patch.  The canonical full-suite run therefore uses
+  # pytest-xdist worker processes, each compiling a bounded share
+  # (~1/4) of the programs — below the crash threshold — with
+  # per-file distribution so intra-file fixtures/order are preserved,
+  # and automatic worker restart so a straggler crash surfaces as a
+  # visible failure instead of killing the run.
+  python -m pytest tests/ -q -n 4 --dist loadfile --max-worker-restart 2
 }
 
 case "$MODE" in
