@@ -145,10 +145,18 @@ def play_on_device(params: WorldModel, datasource, episodes: int = 10,
                    stall_patience: int = 10, seed0: int = 0,
                    out_dir: Optional[str] = None, verbose: bool = True):
     """Run ``episodes`` MPC episodes fully on device; returns
-    (rewards list, steps list).  Episode e uses seed ``seed0 + e`` —
-    the same seed the host loop would use, driving the same env PRNG
-    chain.  Writes reference-format ``evaluation_metrics_<ts>.txt``
-    score files when ``out_dir`` is given (main.py:397-399).
+    (rewards list, steps list).  Episode e uses env seed ``seed0 + e``:
+    trajectory-for-trajectory parity holds against
+    ``play(env=HostEnv(spec, seed=seed0 + e), seed=seed0 + e)`` (that is
+    how tests/test_play_device.py pins it).  Note the host *sweep* path
+    (``play`` without an ``env`` override) draws env seeds from the
+    datasource's own key chain instead, so host-mode and device-mode
+    sweep arms sample different — equally valid — episode sets.
+
+    Writes reference-format score files when ``out_dir`` is given
+    (main.py:397-399), named ``evaluation_metrics_<ts>_<seed>.txt`` —
+    seed-suffixed because on-device episodes finish in the same second
+    and per-second timestamps collide across batched calls.
 
     Exact-path planner only (the int8 beam is a host-play knob)."""
     spec = datasource.spec if hasattr(datasource, "spec") else datasource
@@ -169,6 +177,7 @@ def play_on_device(params: WorldModel, datasource, episodes: int = 10,
         for i, (r, t) in enumerate(zip(cum, steps)):
             msg = f"Finished at t={t} with cumulative reward {r}"
             with open(os.path.join(
-                    out_dir, f"evaluation_metrics_{ts + i}.txt"), "w") as fp:
+                    out_dir,
+                    f"evaluation_metrics_{ts}_{seed0 + i}.txt"), "w") as fp:
                 fp.write(msg + "\n")
     return cum, steps

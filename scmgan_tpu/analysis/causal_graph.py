@@ -72,8 +72,13 @@ def compute_causal_graph(params: WorldModel, datasource, train_iter: int = 0,
                          key: Optional[jax.Array] = None,
                          make_images: bool = True) -> np.ndarray:
     """Normalized causal adjacency, max over ``runs`` batches
-    (reference compute_causal_graph, main.py:512-531).  Writes
-    causal_matrix_iter_*.png and causal_graph_iter_*.png."""
+    (reference compute_causal_graph, main.py:512-531).  Each run's matrix
+    is normalized to its own max BEFORE the max-over-runs — the
+    reference's order (compute_causal_edge_weights normalizes at
+    main.py:584-586, then main.py:519 maxes the normalized matrices).
+    Writes causal_matrix_iter_*.{png,json} and causal_graph_iter_*.png;
+    the JSON carries both the max matrix and the mean-deviation
+    diagnostic."""
     if key is None:
         key = jax.random.PRNGKey(train_iter)
     num_actions = datasource.binary_input_channels
@@ -82,10 +87,10 @@ def compute_causal_graph(params: WorldModel, datasource, train_iter: int = 0,
         src_z, onehot_a = sample_transition(
             params, datasource, key=jax.random.fold_in(key, i))
         w_i, m_i = _causal_edge_weights(params, src_z, onehot_a, num_actions)
-        weights_runs.append(np.asarray(w_i))
+        w_i = np.asarray(w_i)
+        weights_runs.append(w_i / max(w_i.max(), 1e-12))
         mean_runs.append(np.asarray(m_i))
     w = np.max(weights_runs, axis=0)
-    w = w / max(w.max(), 1e-12)
 
     print("Causal Graph Edge Weights")
     print(f"Latent Factor -> Latent Factor dim={w.shape[0]}")
@@ -102,8 +107,15 @@ def compute_causal_graph(params: WorldModel, datasource, train_iter: int = 0,
         print("\t".join(f"{v:.03f}" for v in row))
 
     if make_images:
+        import json
+
         from scmgan_tpu.analysis.video import save_image
 
+        with open(os.path.join(
+                out_dir, f"causal_matrix_iter_{train_iter:06d}.json"),
+                "w") as fp:
+            json.dump({"max": w.tolist(), "mean_deviation": m.tolist(),
+                       "runs": runs}, fp, indent=2)
         save_image(w, os.path.join(
             out_dir, f"causal_matrix_iter_{train_iter:06d}.png"),
             resize_to=(256, 256))
@@ -113,6 +125,15 @@ def compute_causal_graph(params: WorldModel, datasource, train_iter: int = 0,
 
             Image.fromarray(img).save(os.path.join(
                 out_dir, f"causal_graph_iter_{train_iter:06d}.png"))
+            # mean-deviation variant: the non-saturating instrument
+            save_image(m, os.path.join(
+                out_dir, f"causal_matrix_mean_iter_{train_iter:06d}.png"),
+                resize_to=(256, 256))
+            img_m = render_causal_graph(m)
+            if img_m is not None:
+                Image.fromarray(img_m).save(os.path.join(
+                    out_dir,
+                    f"causal_graph_mean_iter_{train_iter:06d}.png"))
     return w
 
 

@@ -25,19 +25,32 @@ import platform
 
 
 def machine_fingerprint() -> str:
-    """Short stable id of (arch, CPU feature flags, jax version)."""
+    """Short stable id of (arch, CPU model + stepping + feature flags,
+    jax version).
+
+    The CPU MODEL lines matter, not just the flags: XLA:CPU bakes
+    model-derived LLVM tuning preferences (e.g. ``+prefer-no-gather`` on
+    Downfall-mitigated Intel parts) into AOT executables, so two
+    machines with identical /proc/cpuinfo flags can still produce
+    mutually incompatible cache entries (observed round 5: a
+    flags-keyed fingerprint collided across VMs and the loader warned
+    "Machine type used for XLA:CPU compilation doesn't match ... could
+    lead to execution errors such as SIGILL")."""
     import jax
 
-    flags = ""
+    ident = []
     try:
         with open("/proc/cpuinfo") as f:
             for line in f:
-                if line.startswith(("flags", "Features")):
-                    flags = line
+                if line.startswith(("flags", "Features", "model name",
+                                    "model\t", "stepping", "vendor_id",
+                                    "cpu family", "microcode")):
+                    ident.append(line.strip())
+                if len(ident) >= 7:
                     break
     except OSError:
         pass
-    blob = f"{platform.machine()}|{flags}|{jax.__version__}"
+    blob = f"{platform.machine()}|{'|'.join(ident)}|{jax.__version__}"
     return hashlib.sha256(blob.encode()).hexdigest()[:12]
 
 

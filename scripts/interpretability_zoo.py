@@ -1,0 +1,161 @@
+"""Ship interpretability artifacts for every flagship bundle (round-4
+VERDICT #2): causal-graph extraction and excitation-BPTT backtrack
+videos, committed under ``pretrained_models/<bundle>/interpretability/``.
+
+Per bundle this produces:
+  * causal_matrix_iter_*.png/json  — max matrix (reference protocol,
+    main.py:512-531) + mean-deviation diagnostic, both in the JSON
+  * causal_graph_iter_*.png        — rendered digraphs (max and mean)
+  * excitation_bptt_seed*.mp4      — reward-backtrack video
+    (reference excitation_bptt.py:6-53)
+  * sanity.json                    — quantitative readout: per-factor
+    action sensitivity vs causal out-degree.  The expectation (checked
+    on gridworld): the factor the ACTION controls — the agent — should
+    rank at/near the top of causal out-degree, because zeroing the
+    agent factor changes everything downstream.
+
+Usage:
+    SCMGAN_PLATFORM=cpu python scripts/interpretability_zoo.py \
+        [bundle_env:bundle_dir ...]       # default: the three flagships
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+
+sys.path.insert(0, os.path.join(os.path.dirname(__file__), ".."))
+
+import jax
+
+if os.environ.get("SCMGAN_PLATFORM"):
+    jax.config.update("jax_platforms", os.environ["SCMGAN_PLATFORM"])
+
+from scmgan_tpu.utils.compile_cache import setup_compile_cache
+
+setup_compile_cache()
+
+import jax.numpy as jnp  # noqa: E402
+import numpy as np  # noqa: E402
+
+from scmgan_tpu.analysis.causal_graph import (  # noqa: E402
+    compute_causal_graph,
+    sample_transition,
+)
+from scmgan_tpu.analysis.excitation_bptt import visualize_bptt  # noqa: E402
+from scmgan_tpu.data import allocate_datasource  # noqa: E402
+from scmgan_tpu.models import init_world_model  # noqa: E402
+from scmgan_tpu.models.world_model import encode, transition  # noqa: E402
+from scmgan_tpu.train import checkpoint as ckpt  # noqa: E402
+
+ZOO = [
+    ("gridworld", "pretrained_models/gridworld_cf"),
+    ("pong", "pretrained_models/pong_cf"),
+    ("minipacman", "pretrained_models/minipacman_cf"),
+]
+
+
+def action_sensitivity(params, ds, batches: int = 4):
+    """Per-factor action sensitivity: mean over batches/space of the
+    variance across actions of the successor latent.  High value = the
+    action directly drives this factor (on gridworld: the agent)."""
+    A = ds.binary_input_channels
+    sens = []
+    for i in range(batches):
+        src_z, _ = sample_transition(params, ds,
+                                     key=jax.random.PRNGKey(7_000 + i))
+        outs = []
+        for a in range(A):
+            oh = jnp.broadcast_to(
+                jax.nn.one_hot(a, A, dtype=src_z.dtype)[None],
+                (src_z.shape[0], A))
+            outs.append(transition(params.transition, src_z, oh,
+                                   train=False))
+        stack = jnp.stack(outs)                       # (A, B, H, W, L)
+        sens.append(np.asarray(
+            jnp.mean(jnp.var(stack.astype(jnp.float32), axis=0),
+                     axis=(0, 1, 2))))
+    return np.mean(sens, axis=0)                      # (L,)
+
+
+def run_one(env_name: str, bundle: str, iter_tag: int):
+    ds = allocate_datasource(env_name, seed=0)
+    wm = init_world_model(
+        jax.random.PRNGKey(0), 16, ds.binary_input_channels,
+        ds.scalar_output_channels, ds.conv_input_channels,
+        ds.conv_output_channels, img_size=ds.spec.height)
+    wm = ckpt.load_model(bundle, wm)
+    out_dir = os.path.join(bundle, "interpretability")
+    os.makedirs(out_dir, exist_ok=True)
+
+    w = compute_causal_graph(wm, ds, train_iter=iter_tag, runs=10,
+                             out_dir=out_dir)
+    with open(os.path.join(
+            out_dir, f"causal_matrix_iter_{iter_tag:06d}.json")) as f:
+        mats = json.load(f)
+    m = np.asarray(mats["mean_deviation"])
+
+    sens = action_sensitivity(wm, ds)
+    # out-degree under the non-saturating instrument (max saturates to 1
+    # on binary latents); exclude self-edges
+    out_deg = (m - np.diag(np.diag(m))).sum(axis=1)
+    order = np.argsort(-out_deg)
+    agent_factor = int(np.argmax(sens))
+    agent_rank = int(np.where(order == agent_factor)[0][0])
+
+    sanity = {
+        "bundle": bundle,
+        "action_sensitivity": sens.tolist(),
+        "action_controlled_factor": agent_factor,
+        "causal_out_degree_mean_matrix": out_deg.tolist(),
+        "out_degree_rank_of_action_factor": agent_rank,
+        "latent_dim": int(len(sens)),
+        "note": "rank 0 = the action-controlled factor has the largest "
+                "causal out-degree (mean-deviation matrix, self-edges "
+                "excluded)",
+    }
+
+    bptt_path = None
+    for seed in range(8):
+        obs, _, _, _ = ds.collect(1, 3, key=jax.random.PRNGKey(100 + seed))
+        z0 = encode(wm.encoder, obs[:, 0:3])
+        bptt_path = visualize_bptt(wm, z0, ds.binary_input_channels,
+                                   steps=30, out_dir=out_dir, seed=seed,
+                                   filename=f"excitation_bptt_seed{seed}.mp4")
+        if bptt_path is not None:
+            break
+    sanity["excitation_bptt"] = bptt_path
+
+    with open(os.path.join(out_dir, "sanity.json"), "w") as f:
+        json.dump(sanity, f, indent=2)
+    print(f"{env_name}: action factor z_{agent_factor} out-degree rank "
+          f"{agent_rank}/{len(sens) - 1}, bptt={bptt_path}")
+    return sanity
+
+
+def main():
+    zoo = ZOO
+    if len(sys.argv) > 1:
+        zoo = [tuple(a.split(":", 1)) for a in sys.argv[1:]]
+    results = {}
+    for env_name, bundle in zoo:
+        if not os.path.isdir(bundle):
+            print(f"-- {bundle} missing, skipping")
+            continue
+        # tag artifacts with the bundle's latest recorded train iter
+        import glob
+        import re
+
+        iters = [int(re.search(r"(\d+)", os.path.basename(p)).group(1))
+                 for p in glob.glob(
+                     os.path.join(bundle, "mse_pixel_iter_*.json"))]
+        results[os.path.basename(bundle)] = run_one(
+            env_name, bundle, max(iters) if iters else 0)
+    print(json.dumps({k: {"rank": v["out_degree_rank_of_action_factor"],
+                          "bptt": v["excitation_bptt"]}
+                      for k, v in results.items()}))
+
+
+if __name__ == "__main__":
+    main()

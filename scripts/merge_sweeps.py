@@ -17,9 +17,9 @@ import json
 import numpy as np
 
 
-def summarize(scores):
+def summarize(scores, seeds=None):
     a = np.asarray(scores, np.float64)
-    return {
+    rec = {
         "episodes": [float(x) for x in a],
         "mean": float(a.mean()),
         "std": float(a.std(ddof=1)) if len(a) > 1 else 0.0,
@@ -27,6 +27,9 @@ def summarize(scores):
         else 0.0,
         "n": len(a),
     }
+    if seeds is not None:
+        rec["seeds"] = list(seeds)
+    return rec
 
 
 def main():
@@ -34,6 +37,10 @@ def main():
     ap.add_argument("base")
     ap.add_argument("extra")
     ap.add_argument("--out", default=None)
+    ap.add_argument("--allow-overlap", action="store_true",
+                    help="merge even when episode seeds overlap "
+                         "(overlapping episodes are DROPPED, not "
+                         "duplicated)")
     args = ap.parse_args()
 
     with open(args.base) as f:
@@ -44,9 +51,36 @@ def main():
 
     for name, arm in extra["arms"].items():
         if name in base["arms"]:
-            merged = base["arms"][name]["episodes"] + arm["episodes"]
-            cfg = base["arms"][name].get("config") or arm.get("config")
-            base["arms"][name] = dict(summarize(merged),
+            barm = base["arms"][name]
+            # Overlap guard (ADVICE r4 "high": a seed0=0 power-up once
+            # pseudo-replicated the original episodes into the tracked
+            # JSON).  Seeds identify episodes; without seeds on BOTH
+            # sides we cannot prove independence, so refuse.
+            bs, es = barm.get("seeds"), arm.get("seeds")
+            if bs is None or es is None:
+                raise SystemExit(
+                    f"refusing to merge arm '{name}': episode seeds "
+                    f"missing on {'base' if bs is None else 'extra'} "
+                    f"side — independence unprovable. Re-run the sweep "
+                    f"(it now records seeds) or merge by hand.")
+            dup = [s for s in es if s in set(bs)]
+            if dup:
+                if not args.allow_overlap:
+                    raise SystemExit(
+                        f"refusing to merge arm '{name}': seeds "
+                        f"{dup} already present in base — these would "
+                        f"be duplicate episodes. Use disjoint --seed0 "
+                        f"ranges, or --allow-overlap to drop them.")
+                keep = [i for i, s in enumerate(es) if s not in set(bs)]
+                print(f"{name}: dropping {len(dup)} overlapping "
+                      f"episodes (seeds {dup})")
+                arm = dict(arm,
+                           episodes=[arm["episodes"][i] for i in keep],
+                           seeds=[es[i] for i in keep])
+            merged = barm["episodes"] + arm["episodes"]
+            merged_seeds = bs + arm["seeds"]
+            cfg = barm.get("config") or arm.get("config")
+            base["arms"][name] = dict(summarize(merged, seeds=merged_seeds),
                                       **({"config": cfg} if cfg else {}))
         else:
             base["arms"][name] = arm

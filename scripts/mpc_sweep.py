@@ -91,9 +91,16 @@ def play_random(spec, max_steps=300, seed=0):
     return cum, t
 
 
-def summarize(scores):
+def summarize(scores, seeds=None):
+    """Per-arm record.  ``seeds`` tags each episode with its identity so
+    merge_sweeps.py can refuse overlapping reruns (ADVICE r4 "high": a
+    seed0=0 power-up once duplicated the original sweep's episodes
+    verbatim into the tracked JSON).  Device-mode episodes are tagged
+    with their integer env seed; host-mode episodes with
+    "ds<seed0>+<idx>" — the datasource key chain, not seed0+idx, draws
+    their env seeds, so (seed0, idx) is the reproducible identity."""
     a = np.asarray(scores, np.float64)
-    return {
+    rec = {
         "episodes": [float(x) for x in a],
         "mean": float(a.mean()),
         "std": float(a.std(ddof=1)) if len(a) > 1 else 0.0,
@@ -101,6 +108,9 @@ def summarize(scores):
         else 0.0,
         "n": len(a),
     }
+    if seeds is not None:
+        rec["seeds"] = list(seeds)
+    return rec
 
 
 def main():
@@ -163,9 +173,11 @@ def main():
     # backend — and merged into the sweep JSON afterwards).
     if args.random_episodes > 0:
         t0 = time.time()
-        rand_scores = [play_random(spec, args.max_steps, seed=1000 + i)[0]
-                       for i in range(args.random_episodes)]
-        results["arms"]["random"] = summarize(rand_scores)
+        rand_seeds = [1000 + args.seed0 + i
+                      for i in range(args.random_episodes)]
+        rand_scores = [play_random(spec, args.max_steps, seed=s)[0]
+                       for s in rand_seeds]
+        results["arms"]["random"] = summarize(rand_scores, seeds=rand_seeds)
         print(f"random: {results['arms']['random']['mean']:+.2f} "
               f"+- {results['arms']['random']['stderr']:.2f} "
               f"({time.time() - t0:.0f}s)")
@@ -176,6 +188,7 @@ def main():
     for name in arm_names:
         kw = ARMS[name]
         scores = []
+        seeds = []
         t0 = time.time()
         # keep each arm's evaluation_metrics_*.txt score files so the
         # winning arm's can be copied into the tracked bundle without
@@ -190,15 +203,19 @@ def main():
                 n = min(args.episodes_per_call, args.episodes - ep0)
                 rs, _ = play_on_device(
                     wm, ds, episodes=n, max_steps=args.max_steps,
-                    out_dir=arm_dir, verbose=False, seed0=ep0, **kw)
+                    out_dir=arm_dir, verbose=False,
+                    seed0=args.seed0 + ep0, **kw)
                 scores.extend(rs)
+                seeds.extend(range(args.seed0 + ep0, args.seed0 + ep0 + n))
         else:
             for ep in range(args.episodes):
                 r, _ = play(wm, ds, max_steps=args.max_steps,
                             out_dir=arm_dir, verbose=False,
                             seed=args.seed0 + ep, **kw)
                 scores.append(r)
-        results["arms"][name] = dict(summarize(scores), config=str(kw))
+                seeds.append(f"ds{args.seed0}+{ep}")
+        results["arms"][name] = dict(summarize(scores, seeds=seeds),
+                                     config=str(kw))
         print(f"{name}: {results['arms'][name]['mean']:+.2f} "
               f"+- {results['arms'][name]['stderr']:.2f} "
               f"episodes={scores} ({time.time() - t0:.0f}s)")
@@ -210,6 +227,7 @@ def main():
             ("oracle_deep", dict(lookahead=3, rollout_depth=20)),
         ]:
             scores = []
+            seeds = []
             t0 = time.time()
             if args.device:
                 from scmgan_tpu.agent.oracle import play_oracle_on_device
@@ -218,16 +236,19 @@ def main():
                     n = min(args.episodes_per_call, args.episodes - ep0)
                     rs, _ = play_oracle_on_device(
                         spec, episodes=n, max_steps=args.max_steps,
-                        samples=args.oracle_samples, seed0=ep0,
-                        verbose=False, **okw)
+                        samples=args.oracle_samples,
+                        seed0=args.seed0 + ep0, verbose=False, **okw)
                     scores.extend(rs)
+                    seeds.extend(range(args.seed0 + ep0,
+                                       args.seed0 + ep0 + n))
             else:
                 for ep in range(args.episodes):
                     r, _ = play_oracle(spec, max_steps=args.max_steps,
                                        samples=args.oracle_samples,
-                                       seed=ep, **okw)
+                                       seed=args.seed0 + ep, **okw)
                     scores.append(r)
-            results["arms"][oname] = dict(summarize(scores),
+                    seeds.append(args.seed0 + ep)
+            results["arms"][oname] = dict(summarize(scores, seeds=seeds),
                                           config=str(okw))
             print(f"{oname}: {results['arms'][oname]['mean']:+.2f} "
                   f"+- {results['arms'][oname]['stderr']:.2f} "

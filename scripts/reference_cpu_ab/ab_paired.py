@@ -33,11 +33,27 @@ ours-vs-live measures the full behavioral delta including the one
 documented semantic divergence.  Replicates over independent trajectory
 sets give a CI on each delta that trivially resolves 1%.
 
-The reward columns are intentionally omitted: the reference's
+Reward columns (--rewards, round-4 VERDICT #4): the reference's
 get_trajectories returns rewards shaped (1,T,B) (envs/gridworld.py:83,95
-— same in betterpong), so its eval broadcasts predicted rewards against
-the batch-summed true reward; the comparison is meaningless (documented,
-docs/reference_ab.md).
+— same in betterpong), so its eval's ``rewards[:, t].sum(-1)``
+(main.py:822) collapses to the BATCH-SUMMED true reward broadcast
+against every trajectory's prediction — as a "reward MSE" the number is
+meaningless, but as ARITHMETIC it is perfectly reproducible.  With
+--rewards the harness pins the reward-eval arithmetic on identical
+weights in both directions:
+
+  ref_native   — the reference eval, unmodified, on its native (1,T,B)
+                 rewards (the buggy broadcast);
+  ours_bug     — our eval fed rewards where every trajectory's channel
+                 holds the batch-sum scalar, which reproduces the
+                 reference's broadcast EXACTLY in our pipeline;
+  ref_fixedshape — the unmodified reference eval fed (B,T,1) rewards,
+                 under which its own line 822 computes the CORRECT
+                 per-trajectory expectation (frozen-SN arm only);
+  ours         — our eval's native reward curve (always per-trajectory).
+
+ours_bug-vs-ref_native(frozen) and ours-vs-ref_fixedshape are both
+pure-arithmetic comparisons expected at ~0.
 
 Usage:
     python scripts/reference_cpu_ab/ab_paired.py \
@@ -95,6 +111,10 @@ def main():
                     help="trajectory-set seeds are seed_base+s; use a "
                          "different base to extend an earlier run with "
                          "fresh replicates (pool the per_set lists)")
+    ap.add_argument("--rewards", action="store_true",
+                    help="add the reward-arithmetic parity columns "
+                         "(ref_native / ours_bug / ref_fixedshape / "
+                         "ours) — see module docstring")
     ap.add_argument("--out-json", default=None)
     args = ap.parse_args()
 
@@ -178,33 +198,56 @@ def main():
         orig_get = ds_ref.get_trajectories
         ds_ref.get_trajectories = lambda *a, **k: fixed
         ref_curves = {}
+        ref_rew = {}
+
+        def run_ref_eval(mode, tag):
+            """One reference-eval pass under SN cadence ``mode``; returns
+            (pixel curve, reward curve) read from its own artifacts."""
+            ref_sn.SpectralNorm._update_u_v = _update_live
+            enc, dec, rp, trans = build_and_load()
+            if mode == "frozen":
+                # advance every SN layer to its first-forward state
+                # (one live iteration — what torch_import reproduces),
+                # then freeze sigma there for the whole free-run
+                for net in (enc, dec, rp, trans):
+                    for m in net.modules():
+                        if isinstance(m, ref_sn.SpectralNorm):
+                            _update_live(m)
+                ref_sn.SpectralNorm._update_u_v = _update_frozen
+            cwd = os.getcwd()
+            tmp = tempfile.mkdtemp(
+                prefix=f"ab_paired_{args.env}_{s}_{tag}_")
+            os.chdir(tmp)
+            try:
+                with torch.no_grad():
+                    ref_main.measure_prediction_mse(
+                        ds_ref, enc, dec, trans, rp,
+                        train_iter=args.iter,
+                        timesteps=args.timesteps)
+                with open(f"mse_pixel_iter_{args.iter:06d}.json") as f:
+                    pixel = [float(x) for x in json.load(f)]
+                with open(f"mse_reward_iter_{args.iter:06d}.json") as f:
+                    rew = [float(x) for x in json.load(f)]
+            finally:
+                os.chdir(cwd)
+            return pixel, rew
+
         try:
             for mode in sn_modes:
-                ref_sn.SpectralNorm._update_u_v = _update_live
-                enc, dec, rp, trans = build_and_load()
-                if mode == "frozen":
-                    # advance every SN layer to its first-forward state
-                    # (one live iteration — what torch_import reproduces),
-                    # then freeze sigma there for the whole free-run
-                    for net in (enc, dec, rp, trans):
-                        for m in net.modules():
-                            if isinstance(m, ref_sn.SpectralNorm):
-                                _update_live(m)
-                    ref_sn.SpectralNorm._update_u_v = _update_frozen
-                cwd = os.getcwd()
-                tmp = tempfile.mkdtemp(
-                    prefix=f"ab_paired_{args.env}_{s}_{mode}_")
-                os.chdir(tmp)
-                try:
-                    with torch.no_grad():
-                        ref_main.measure_prediction_mse(
-                            ds_ref, enc, dec, trans, rp,
-                            train_iter=args.iter,
-                            timesteps=args.timesteps)
-                    with open(f"mse_pixel_iter_{args.iter:06d}.json") as f:
-                        ref_curves[mode] = [float(x) for x in json.load(f)]
-                finally:
-                    os.chdir(cwd)
+                ref_curves[mode], ref_rew[f"native_{mode}"] = run_ref_eval(
+                    mode, mode)
+            if args.rewards:
+                # Unmodified reference eval on CORRECT-shape (B,T,1)
+                # rewards: its own line 822 then computes per-trajectory
+                # expectations.  Frozen arm = pure arithmetic column.
+                assert rewards.shape[0] == 1, (
+                    "reward columns assume the scalar-env (1,T,B) shape")
+                rewards_fixed = np.ascontiguousarray(
+                    rewards.transpose(2, 1, 0))
+                fixed_shape = (states, rewards_fixed, dones, actions)
+                ds_ref.get_trajectories = lambda *a, **k: fixed_shape
+                _, ref_rew["fixedshape_frozen"] = run_ref_eval(
+                    "frozen", "fixedshape")
         finally:
             ds_ref.get_trajectories = orig_get
             ref_sn.SpectralNorm._update_u_v = _update_live
@@ -225,6 +268,28 @@ def main():
         n = min(min(len(c) for c in ref_curves.values()), len(ours_curve))
         rep = {f"ref_{m}": c[:n] for m, c in ref_curves.items()}
         rep["ours"] = ours_curve[:n]
+
+        if args.rewards:
+            # our native reward curve is per-trajectory (correct shape)
+            rep["rew_ours"] = ours[2][:n]
+            # emulate the reference's broadcast on our side: every
+            # trajectory's expected reward is the batch sum, which is
+            # exactly what rewards[:, t].sum(-1) collapses to on (1,T,B)
+            scalar_t = rewards[0].sum(-1).astype(np.float32)     # (T,)
+            rew_bug = np.broadcast_to(
+                scalar_t[None, :, None],
+                (args.batch_size, args.timesteps, 1)).copy()
+            fds_bug = FixedDatasource(
+                (obs_ours, rew_bug, dones.astype(np.float32),
+                 actions.astype(np.int32)), num_actions)
+            ours_bug = measure_prediction_mse(
+                wm, fds_bug, train_iter=args.iter,
+                timesteps=args.timesteps, batch_size=args.batch_size,
+                out_dir=tempfile.mkdtemp(prefix=f"ab_bug_{s}_"),
+                make_plots=False)
+            rep["rew_ours_bug"] = ours_bug[2][:n]
+            for k, c in ref_rew.items():
+                rep[f"rew_ref_{k}"] = c[:n]
         replicates.append(rep)
         msg = " ".join(f"{m}@10 {c[9]:.6f}" for m, c in ref_curves.items())
         print(f"set {s}: n={n} horizons, {msg} "
@@ -262,12 +327,45 @@ def main():
             for c in ref_cols)
         print(f"h={h:3d}  ours {row['ours_pixel_mse_mean']:.6f}  {deltas}")
 
+    reward_rows = []
+    if args.rewards:
+        # (ours column, reference column) arithmetic-parity pairs; the
+        # live pair also reports the full behavioral delta
+        pairs = [(a, b) for a, b in [
+            ("rew_ours_bug", "rew_ref_native_frozen"),
+            ("rew_ours", "rew_ref_fixedshape_frozen"),
+            ("rew_ours_bug", "rew_ref_native_live"),
+        ] if a in replicates[0] and b in replicates[0]]
+        print("reward-arithmetic parity:")
+        for h in horizons:
+            i = h - 1
+            row = {"horizon": h}
+            for a, b in pairs:
+                rel = [100.0 * (r[a][i] - r[b][i]) / max(abs(r[b][i]), 1e-12)
+                       for r in replicates]
+                k = len(rel)
+                mean = float(np.mean(rel))
+                se = float(np.std(rel, ddof=1) / np.sqrt(k)) if k > 1 else 0.0
+                row[f"{a}_mean"] = float(
+                    np.mean([r[a][i] for r in replicates]))
+                row[f"{b}_mean"] = float(
+                    np.mean([r[b][i] for r in replicates]))
+                row[f"delta_{a}_vs_{b}_pct"] = {
+                    "mean": mean, "se": se, "per_set": rel}
+            reward_rows.append(row)
+            deltas = "  ".join(
+                f"{a[4:]} vs {b[8:]}: "
+                f"{row[f'delta_{a}_vs_{b}_pct']['mean']:+.4f}%"
+                for a, b in pairs)
+            print(f"h={h:3d}  {deltas}")
+
     result = {
         "env": args.env, "ckpt": os.path.relpath(ckpt, REPO),
         "train_iter": args.iter, "sets": args.sets,
         "seed_base": args.seed_base,
         "batch_size": args.batch_size, "timesteps": args.timesteps,
         "horizons": rows,
+        "reward_horizons": reward_rows,
         "replicate_curves": replicates,
         "note": "paired design: both columns evaluate identical weights "
                 "on the identical fixed trajectory set per replicate; "

@@ -13,7 +13,12 @@ cd "$(dirname "$0")/.."
 PY=python
 EPS="${1:-10}"   # episodes per process (3 processes)
 
-for s in 0 100 200; do
+# seed0 ranges MUST be disjoint from every prior run of this arm: the
+# original sweep used seed0=0, so power-up processes start at 100.
+# merge_sweeps.py now refuses overlapping seeds outright (ADVICE r4
+# "high": a seed0=0 rerun once duplicated the original 10 episodes
+# verbatim into the tracked JSON).
+for s in 100 200 300; do
   $PY scripts/mpc_sweep.py --env minipacman \
       --bundle pretrained_models/minipacman_cf \
       --episodes "$EPS" --random-episodes 0 --skip-oracle --arms ref \

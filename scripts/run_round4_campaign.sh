@@ -41,12 +41,13 @@ sweep() {
 }
 
 ref_power() {
-  # 20 more ref-arm episodes (seeds continue past the sweep's 0-9 via a
-  # fresh output; merged with the original 10 by merge_sweeps.py) and the
-  # oracle arms the round-3 sweep lacked.
+  # 30 more ref-arm episodes on a seed0 range disjoint from the original
+  # sweep's (seed0=0, episodes 0-9); merge_sweeps.py refuses overlapping
+  # seed ranges, so a wrong seed0 here fails loudly instead of silently
+  # duplicating episodes (ADVICE r4 "high").
   $PY scripts/mpc_sweep.py --env minipacman \
       --bundle pretrained_models/minipacman_cf \
-      --episodes 30 --random-episodes 0 --arms ref \
+      --episodes 30 --random-episodes 0 --arms ref --seed0 100 \
       --out runs/mpc_ref30_minipacman.json
   $PY scripts/merge_sweeps.py docs/mpc_sweep_minipacman.json \
       runs/mpc_ref30_minipacman.json --out docs/mpc_sweep_minipacman.json

@@ -16,9 +16,11 @@
 #   file in its OWN pytest process with writes enabled.  Per-process
 #   compile count stays small, which is outside the abort's trigger
 #   profile, and every compiled program lands in the persistent cache.
-#   Phase 2 (verification): the canonical single-process full-suite run
-#   with cache writes disabled (SCMGAN_TEST_CACHE_WRITE=0) — fully warm,
-#   no write path, no abort surface.
+#   Phase 2 (verification): the canonical full-suite run under
+#   pytest-xdist, workers derived from the per-process compile budget
+#   (see verify() below), persistent cache enabled.  A standalone
+#   no-repo-imports repro of the underlying XLA:CPU limit is
+#   scripts/repro_xla_crash.py.
 #
 # Usage: bash scripts/run_tests.sh [--warm-only|--verify-only]
 set -u
@@ -41,13 +43,30 @@ verify() {
   # fully off (SIGSEGV in compile) — while the same tests always pass in
   # small processes.  The trigger is the number of XLA:CPU programs
   # compiled by one process, not the cache: an upstream JIT bug this
-  # repo cannot patch.  The canonical full-suite run therefore uses
-  # pytest-xdist worker processes, each compiling a bounded share
-  # (~1/4) of the programs — below the crash threshold — with
-  # per-file distribution so intra-file fixtures/order are preserved,
-  # and automatic worker restart so a straggler crash surfaces as a
-  # visible failure instead of killing the run.
-  python -m pytest tests/ -q -n 4 --dist loadfile --max-worker-restart 2
+  # repo cannot patch (standalone repro: scripts/repro_xla_crash.py).
+  # The canonical full-suite run therefore uses pytest-xdist worker
+  # processes, each compiling a bounded share of the programs — below
+  # the crash threshold — with per-file distribution so intra-file
+  # fixtures/order are preserved, and automatic worker restart so a
+  # straggler crash surfaces as a visible failure instead of killing
+  # the run.
+  #
+  # Worker count is derived from the compile budget, NOT from CPU
+  # count: the binding constraint is per-process program count (a
+  # single process dies at ~230 programs; the full suite compiles
+  # ~260), so even a 1-CPU box needs >=ceil(260/80)=4 workers.  Extra
+  # workers beyond the minimum are only added when real CPUs exist to
+  # run them.
+  local workers
+  workers=$(python -c "
+import os, glob
+programs = 260          # full-suite distinct-program count (measured)
+budget = 80             # per-process compiles, well under the ~230 crash
+need = -(-programs // budget)
+print(max(need, min(os.cpu_count() or 1, 2 * need)))")
+  echo "== verify: pytest-xdist with $workers workers"
+  python -m pytest tests/ -q -n "$workers" --dist loadfile \
+      --max-worker-restart 2
 }
 
 case "$MODE" in

@@ -35,13 +35,17 @@ jax.config.update("jax_platforms", "cpu")
 # `Fatal Python error: Aborted` inside the compile/cache-write path at
 # tests/test_train.py after ~240 green tests, while the same file passes
 # 7/7 in isolation with an equally cold cache.  The trigger profile is
-# therefore cache-WRITE of a large program in a process that has already
-# compiled hundreds of others — an upstream XLA:CPU serialize bug this
-# repo cannot patch.  The supported full-suite protocol is
-# scripts/run_tests.sh: warm the cache in per-file pytest processes
-# (small per-process compile counts are outside the trigger profile),
-# then run the canonical single-process suite with
-# SCMGAN_TEST_CACHE_WRITE=0 (warm + read-only = no write surface).
+# therefore the NUMBER OF PROGRAMS one process compiles (round-4 matrix:
+# single-process full runs die at ~test 230 in every cache mode — abort
+# in the write path, SIGSEGV on warm read-only, SIGSEGV with the cache
+# off), an upstream XLA:CPU JIT limit this repo cannot patch; standalone
+# no-repo-imports repro in scripts/repro_xla_crash.py.  The supported
+# full-suite protocol is scripts/run_tests.sh: warm the cache in
+# per-file pytest processes, then verify under pytest-xdist with the
+# worker count derived from the per-process compile budget (each worker
+# compiles a bounded share, below the crash threshold; persistent cache
+# stays enabled).  SCMGAN_TEST_CACHE=0 / SCMGAN_TEST_CACHE_WRITE=0
+# remain available as manual knobs for single-process debugging.
 import jax._src.compilation_cache as _cc  # noqa: E402
 
 from scmgan_tpu.utils.compile_cache import machine_fingerprint  # noqa: E402
