@@ -137,6 +137,32 @@ def _play_episodes(
     return jax.vmap(one_episode)(seeds)
 
 
+# Measured worker-fault boundary (scripts/repro_play64_crash.py, round 5,
+# 64x64 pong, depth 12, lookahead 2 => 64 beam lanes/episode): 1 and 2
+# episodes run fine; 5 and 10 episodes kill the remote TPU worker
+# ("TPU worker process crashed or restarted", a worker-side kernel
+# fault, not a Python error).  The binding quantity is the planner
+# beam's total footprint — episodes x lanes x latent pixels — so the
+# budget is expressed in lane-pixels: 2 episodes x 64 lanes x 4096
+# pixels = 524288 was the largest passing config.
+_LANE_PIXEL_BUDGET = 2 * 64 * 64 * 64
+
+
+def _episode_chunk(spec, num_actions: int, lookahead: int,
+                   rollout_policy: str, rollout_samples: int) -> int:
+    """Max episodes per compiled program under the lane-pixel budget."""
+    import os as _os
+
+    budget = int(_os.environ.get("SCMGAN_PLAY_LANE_BUDGET",
+                                 _LANE_PIXEL_BUDGET))
+    width = num_actions ** (lookahead + 1)
+    if rollout_policy == "greedy":
+        width *= num_actions          # the greedy tail's A-wide transient
+    width *= max(rollout_samples, 1)
+    per_episode = width * spec.height * spec.width
+    return max(1, budget // per_episode)
+
+
 def play_on_device(params: WorldModel, datasource, episodes: int = 10,
                    max_steps: int = 300, rollout_depth: int = 12,
                    lookahead: int = 2,
@@ -158,16 +184,29 @@ def play_on_device(params: WorldModel, datasource, episodes: int = 10,
     seed-suffixed because on-device episodes finish in the same second
     and per-second timestamps collide across batched calls.
 
+    Episodes are processed in program chunks sized by the lane-pixel
+    budget (see _episode_chunk): large envs exceed a remote-worker
+    program limit when too many episode beams batch into one program
+    (measured boundary in the module comment above) — chunking keeps
+    each program under it while per-episode results stay bit-identical
+    (episodes are independent lanes of the vmap).
+
     Exact-path planner only (the int8 beam is a host-play knob)."""
     spec = datasource.spec if hasattr(datasource, "spec") else datasource
-    seeds = jnp.arange(seed0, seed0 + episodes, dtype=jnp.int32)
+    chunk = _episode_chunk(spec, spec.num_actions, lookahead,
+                           rollout_policy, rollout_samples)
     t0 = time.time()
-    cum, pos, neg, steps = _play_episodes(
-        params, seeds, spec, spec.num_actions, max_steps, lookahead,
-        rollout_depth, rollout_policy, float(negative_positive_tradeoff),
-        rollout_samples, stall_patience)
-    cum = [float(x) for x in np.asarray(cum)]
-    steps = [int(x) for x in np.asarray(steps)]
+    cum, steps = [], []
+    for e0 in range(0, episodes, chunk):
+        n = min(chunk, episodes - e0)
+        seeds = jnp.arange(seed0 + e0, seed0 + e0 + n, dtype=jnp.int32)
+        c, _, _, st = _play_episodes(
+            params, seeds, spec, spec.num_actions, max_steps, lookahead,
+            rollout_depth, rollout_policy,
+            float(negative_positive_tradeoff), rollout_samples,
+            stall_patience)
+        cum.extend(float(x) for x in np.asarray(c))
+        steps.extend(int(x) for x in np.asarray(st))
     if verbose:
         print(f"play_on_device: {episodes} episodes in "
               f"{time.time() - t0:.1f}s  rewards={cum}")

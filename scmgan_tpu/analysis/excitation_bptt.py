@@ -35,9 +35,16 @@ from scmgan_tpu.models.world_model import (
 def visualize_bptt(params: WorldModel, z0, num_actions: int,
                    steps: int = 30, reward_threshold: float = 0.8,
                    out_dir: str = ".", filename: Optional[str] = None,
-                   seed: int = 0):
+                   seed: int = 0, policy: str = "reference"):
     """z0: (1, H, W, L) initial latent.  Returns the video path (or None if
     no step's reward ever crossed the threshold).
+
+    ``policy``: "reference" replays the reference's fixed roll (action 1
+    at t=0 then action 3 forever, excitation_bptt.py:14); "random" draws
+    a deterministic per-step random action instead — an extension for
+    envs (e.g. pong) where the fixed hold-still roll never reaches a
+    predicted scoring event at any horizon, so the reference protocol
+    cannot produce an artifact at all.
 
     Gradient note: the reference's eval-mode transition discretizes with a
     hard (x > 0.5) threshold whose gradient is zero, so a naive backprop
@@ -47,14 +54,19 @@ def visualize_bptt(params: WorldModel, z0, num_actions: int,
     models.py:30-40).
     """
     base_key = jax.random.PRNGKey(seed)
+    action_key = jax.random.PRNGKey(seed ^ 0x5EED)
 
     def step_key(t):
         return jax.random.fold_in(base_key, t)
 
     def action_at(t):
-        # reference policy: action 1 at t=0, then action 3
-        # (excitation_bptt.py:14)
-        a = jnp.where(t == 0, 1, 3) % num_actions
+        if policy == "random":
+            a = jax.random.randint(jax.random.fold_in(action_key, t),
+                                   (), 0, num_actions)
+        else:
+            # reference policy: action 1 at t=0, then action 3
+            # (excitation_bptt.py:14)
+            a = jnp.where(t == 0, 1, 3) % num_actions
         return jax.nn.one_hot(a, num_actions, dtype=z0.dtype)[None]
 
     # Forward roll (eval mode), recording per-step latents and rewards.

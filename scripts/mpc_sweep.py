@@ -45,14 +45,21 @@ if os.environ.get("SCMGAN_FORCE_CPU"):
 
 import numpy as np
 
+from scmgan_tpu.utils.compile_cache import setup_compile_cache
+
+setup_compile_cache()
+
 
 ARMS = {
     # name: kwargs for play()
     "ref": dict(lookahead=2, rollout_depth=12),
     "l3": dict(lookahead=3, rollout_depth=12),
     "d20": dict(lookahead=2, rollout_depth=20),
+    "d30": dict(lookahead=2, rollout_depth=30),
     "greedy": dict(lookahead=2, rollout_depth=12, rollout_policy="greedy"),
     "greedy_d20": dict(lookahead=2, rollout_depth=20,
+                       rollout_policy="greedy"),
+    "greedy_d30": dict(lookahead=2, rollout_depth=30,
                        rollout_policy="greedy"),
     "l3_greedy": dict(lookahead=3, rollout_depth=16,
                       rollout_policy="greedy"),
