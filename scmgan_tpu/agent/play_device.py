@@ -137,30 +137,66 @@ def _play_episodes(
     return jax.vmap(one_episode)(seeds)
 
 
-# Measured worker-fault boundary (scripts/repro_play64_crash.py, round 5,
-# 64x64 pong, depth 12, lookahead 2 => 64 beam lanes/episode): 1 and 2
-# episodes run fine; 5 and 10 episodes kill the remote TPU worker
-# ("TPU worker process crashed or restarted", a worker-side kernel
-# fault, not a Python error).  The binding quantity is the planner
-# beam's total footprint — episodes x lanes x latent pixels — so the
-# budget is expressed in lane-pixels: 2 episodes x 64 lanes x 4096
-# pixels = 524288 was the largest passing config.
-_LANE_PIXEL_BUDGET = 2 * 64 * 64 * 64
+# Measured worker-fault boundary (scripts/repro_play64_crash.py, round
+# 5, two passes; matrix in runs/play64_crash_matrix.json): on 64x64
+# envs, episode-batched beam programs kill the remote TPU worker ("TPU
+# worker process crashed or restarted" — a worker-side fault, not a
+# Python error) as a function of lanes x beam steps, NOT lanes alone:
+#
+#   lanes x (lookahead+1+depth)  |  outcome   (lanes = eps x A^(la+1))
+#   960 / 1472 / 1920 / 2112 /   |  pass  (incl. 64 lanes at depth 30
+#   2880                         |         and 192 lanes at depth 12)
+#   2944 / 4800 / 5120 / 9600    |  crash (incl. 128 lanes at depth 20
+#                                |         and 256 lanes at depth 16)
+#
+# Independent of scan length (25 vs 300 env steps).  The 2880 edge
+# config is FLAKY — it passed once in the bisect matrix, then an
+# identical 192-lane depth-12 sweep arm crashed the worker — so the
+# budget backs off to the next-lower measured configuration
+# (64 lanes x depth 30 = 2112 lane-steps), normalized by latent
+# pixels.  128-lane depth-12 programs (1920) have passed repeatedly.
+_LANE_STEP_PIXEL_BUDGET = 2112 * 64 * 64
 
 
-def _episode_chunk(spec, num_actions: int, lookahead: int,
+def _episode_chunk(spec, num_actions: int, lookahead: int, depth: int,
                    rollout_policy: str, rollout_samples: int) -> int:
-    """Max episodes per compiled program under the lane-pixel budget."""
+    """Max episodes per compiled program under the lane-step budget."""
     import os as _os
 
     budget = int(_os.environ.get("SCMGAN_PLAY_LANE_BUDGET",
-                                 _LANE_PIXEL_BUDGET))
+                                 _LANE_STEP_PIXEL_BUDGET))
     width = num_actions ** (lookahead + 1)
     if rollout_policy == "greedy":
         width *= num_actions          # the greedy tail's A-wide transient
     width *= max(rollout_samples, 1)
-    per_episode = width * spec.height * spec.width
+    per_episode = (width * (lookahead + 1 + depth)
+                   * spec.height * spec.width)
     return max(1, budget // per_episode)
+
+
+def fits_on_device(spec, num_actions: int, lookahead: int = 2,
+                   rollout_depth: int = 12, rollout_policy: str = "noop",
+                   rollout_samples: int = 1, **_ignored) -> bool:
+    """True if even a SINGLE episode's beam fits the lane-step budget —
+    callers should fall back to the host play loop otherwise (a
+    too-large single-episode program kills the remote worker; the
+    chunker can only clamp to 1)."""
+    import os as _os
+
+    budget = int(_os.environ.get("SCMGAN_PLAY_LANE_BUDGET",
+                                 _LANE_STEP_PIXEL_BUDGET))
+    # The greedy tail's A-wide transient counts PARTIALLY against the
+    # worker limit (measured round 5: 1-episode greedy pong passes at
+    # depth 12 — carried 960 lane-steps, transient-weighted 3840 — but
+    # crashes at depth 20), so the conservative full xA multiplier
+    # applies here too: 64x64 greedy arms fall back to the host loop,
+    # 16x16 greedy arms stay on-device (16x smaller pixel footprint).
+    width = num_actions ** (lookahead + 1) * max(rollout_samples, 1)
+    if rollout_policy == "greedy":
+        width *= num_actions
+    per_episode = (width * (lookahead + 1 + rollout_depth)
+                   * spec.height * spec.width)
+    return per_episode <= budget
 
 
 def play_on_device(params: WorldModel, datasource, episodes: int = 10,
@@ -184,17 +220,17 @@ def play_on_device(params: WorldModel, datasource, episodes: int = 10,
     seed-suffixed because on-device episodes finish in the same second
     and per-second timestamps collide across batched calls.
 
-    Episodes are processed in program chunks sized by the lane-pixel
+    Episodes are processed in program chunks sized by the lane-step
     budget (see _episode_chunk): large envs exceed a remote-worker
     program limit when too many episode beams batch into one program
-    (measured boundary in the module comment above) — chunking keeps
-    each program under it while per-episode results stay bit-identical
-    (episodes are independent lanes of the vmap).
+    (measured boundary in the comment above _episode_chunk) — chunking
+    keeps each program under it while per-episode results stay
+    bit-identical (episodes are independent lanes of the vmap).
 
     Exact-path planner only (the int8 beam is a host-play knob)."""
     spec = datasource.spec if hasattr(datasource, "spec") else datasource
     chunk = _episode_chunk(spec, spec.num_actions, lookahead,
-                           rollout_policy, rollout_samples)
+                           rollout_depth, rollout_policy, rollout_samples)
     t0 = time.time()
     cum, steps = [], []
     for e0 in range(0, episodes, chunk):

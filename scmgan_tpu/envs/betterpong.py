@@ -126,6 +126,9 @@ def _rescale(z, lo, hi):
     return jnp.int32(z * (hi - lo) + lo + 0.5)
 
 
+_SIM_CORE = None
+
+
 def simulator(factor_batch: np.ndarray) -> np.ndarray:
     """Factors (B, 6) in [0,1] -> 3 stacked frames per sample, for the
     Higgins metric (reference envs/betterpong.py:140-172: the env is seeded
@@ -133,6 +136,12 @@ def simulator(factor_batch: np.ndarray) -> np.ndarray:
 
     Replicates the reference's quirk of seeding both ball velocities from
     the left_y factor (envs/betterpong.py:164-165).
+
+    The batched core is jitted and cached at module level: un-jitted,
+    every call re-compiles the internal ``lax.scan`` — a sweep making
+    ~10^3 simulator calls exhausts XLA:CPU's JIT code memory
+    ("LLVM compilation error: Cannot allocate memory", the same
+    many-programs limit behind scripts/repro_xla_crash.py).
     """
     factors = jnp.asarray(factor_batch, jnp.float32)
 
@@ -157,8 +166,11 @@ def simulator(factor_batch: np.ndarray) -> np.ndarray:
         _, frames = jax.lax.scan(body, state, jax.random.split(key, 3))
         return frames  # (3, H, W, C)
 
+    global _SIM_CORE
+    if _SIM_CORE is None:
+        _SIM_CORE = jax.jit(jax.vmap(one))
     keys = jax.random.split(jax.random.PRNGKey(0), factors.shape[0])
-    return np.asarray(jax.vmap(one)(keys, factors))
+    return np.asarray(_SIM_CORE(keys, factors))
 
 
 @register("pong")

@@ -203,7 +203,16 @@ def main():
         arm_dir = os.path.join(os.path.dirname(out_path) or ".",
                                f"mpc_scores_{args.env}", name)
         os.makedirs(arm_dir, exist_ok=True)
-        if args.device:
+        use_device = args.device
+        if use_device:
+            from scmgan_tpu.agent.play_device import fits_on_device
+
+            if not fits_on_device(spec, spec.num_actions, **kw):
+                print(f"{name}: single-episode beam exceeds the device "
+                      f"lane-step budget — running this arm on the host "
+                      f"loop instead")
+                use_device = False
+        if use_device:
             from scmgan_tpu.agent.play_device import play_on_device
 
             for ep0 in range(0, args.episodes, args.episodes_per_call):

@@ -43,6 +43,15 @@ MATRIX = [
     (5, 300, 20, 2),
     (5, 300, 30, 2),
     (5, 300, 16, 3),
+    # round-5 second pass: depth-dependence at low lane counts (the
+    # first pass only proved 128 lanes pass at depth 12; a 128-lane
+    # depth-20 sweep arm then crashed — the boundary scales with the
+    # per-step transition count, i.e. lanes x (lookahead+1+depth))
+    (1, 300, 20, 2),
+    (2, 300, 20, 2),
+    (1, 300, 30, 2),
+    (1, 300, 16, 3),
+    (3, 300, 12, 2),
 ]
 
 
