@@ -67,3 +67,33 @@ def test_device_play_is_deterministic_and_writes_scores(setup, tmp_path):
     scores = sorted(tmp_path.glob("evaluation_metrics_*.txt"))
     assert len(scores) == 2
     assert "cumulative reward" in scores[0].read_text()
+
+
+def test_episode_chunk_budget(setup, monkeypatch):
+    """The lane-step budget (measured 64x64 worker-fault boundary,
+    runs/play64_crash_matrix.json) maps to per-program episode chunks:
+    64x64 ref recipe -> 2 episodes/program, depth 20/30 -> 1, and small
+    16x16 envs stay effectively unchunked."""
+    from scmgan_tpu.agent.play_device import _episode_chunk, fits_on_device
+    from scmgan_tpu.envs import get_env
+
+    pong = get_env("pong")          # 64x64, A=4
+    assert _episode_chunk(pong, 4, 2, 12, "noop", 1) == 2
+    assert _episode_chunk(pong, 4, 2, 20, "noop", 1) == 1
+    assert _episode_chunk(pong, 4, 2, 30, "noop", 1) == 1
+    # lookahead 3 exceeds even a single episode -> host fallback signal
+    assert not fits_on_device(pong, 4, lookahead=3, rollout_depth=12)
+    # 64x64 greedy tails: conservative xA multiplier -> host fallback
+    assert not fits_on_device(pong, 4, lookahead=2, rollout_depth=20,
+                              rollout_policy="greedy")
+    # within budget -> device
+    assert fits_on_device(pong, 4, lookahead=2, rollout_depth=30)
+
+    grid = get_env("gridworld")     # 16x16-class env
+    assert _episode_chunk(grid, grid.num_actions, 2, 12, "noop", 1) >= 10
+    assert fits_on_device(grid, grid.num_actions, lookahead=2,
+                          rollout_depth=12, rollout_policy="greedy")
+
+    # env knob override
+    monkeypatch.setenv("SCMGAN_PLAY_LANE_BUDGET", "1")
+    assert _episode_chunk(pong, 4, 2, 12, "noop", 1) == 1

@@ -19,10 +19,12 @@ def test_merge_sweeps_concatenates_and_recomputes(tmp_path):
     base = {"env": "pong", "bundle": "runs/pong_cf",
             "arms": {"ref": {"episodes": [1.0, 2.0], "mean": 1.5,
                              "std": 0.707, "stderr": 0.5, "n": 2,
+                             "seeds": ["ds0+0", "ds0+1"],
                              "config": "{'lookahead': 2}"}}}
     extra = {"env": "pong", "bundle": "pretrained_models/pong_cf",
              "arms": {"ref": {"episodes": [3.0, 4.0], "mean": 3.5,
-                              "std": 0.707, "stderr": 0.5, "n": 2},
+                              "std": 0.707, "stderr": 0.5, "n": 2,
+                              "seeds": ["ds100+0", "ds100+1"]},
                       "greedy": {"episodes": [9.0], "mean": 9.0,
                                  "std": 0.0, "stderr": 0.0, "n": 1}}}
     b, e = tmp_path / "b.json", tmp_path / "e.json"
@@ -36,9 +38,50 @@ def test_merge_sweeps_concatenates_and_recomputes(tmp_path):
     assert m["arms"]["ref"]["n"] == 4
     assert abs(m["arms"]["ref"]["mean"] - 2.5) < 1e-9
     assert m["arms"]["ref"]["config"] == "{'lookahead': 2}"
+    assert m["arms"]["ref"]["seeds"] == ["ds0+0", "ds0+1",
+                                         "ds100+0", "ds100+1"]
     assert m["arms"]["greedy"]["n"] == 1
     # provenance refreshed to the tracked bundle path
     assert m["bundle"] == "pretrained_models/pong_cf"
+
+
+def test_merge_sweeps_overlap_guard(tmp_path):
+    """Same-name arm merges REQUIRE seeds and REFUSE overlapping ranges
+    (ADVICE r4 'high': a seed0=0 rerun once duplicated the original
+    episodes verbatim into the tracked JSON)."""
+    base = {"env": "pong", "arms": {
+        "ref": {"episodes": [1.0, 2.0], "mean": 1.5, "std": 0.707,
+                "stderr": 0.5, "n": 2, "seeds": [0, 1]}}}
+    b = tmp_path / "b.json"
+    b.write_text(json.dumps(base))
+
+    # overlapping seeds -> refuse
+    e1 = tmp_path / "e1.json"
+    e1.write_text(json.dumps({"env": "pong", "arms": {
+        "ref": {"episodes": [1.0, 9.0], "mean": 5.0, "std": 5.66,
+                "stderr": 4.0, "n": 2, "seeds": [1, 2]}}}))
+    out = _run("merge_sweeps.py", str(b), str(e1),
+               "--out", str(tmp_path / "m1.json"))
+    assert out.returncode != 0
+    assert "overlap" in (out.stdout + out.stderr).lower()
+
+    # --allow-overlap drops the duplicates instead of duplicating them
+    out = _run("merge_sweeps.py", str(b), str(e1), "--allow-overlap",
+               "--out", str(tmp_path / "m2.json"))
+    assert out.returncode == 0, out.stderr
+    m = json.loads((tmp_path / "m2.json").read_text())
+    assert m["arms"]["ref"]["episodes"] == [1.0, 2.0, 9.0]
+    assert m["arms"]["ref"]["seeds"] == [0, 1, 2]
+
+    # missing seeds on either side -> refuse (independence unprovable)
+    e2 = tmp_path / "e2.json"
+    e2.write_text(json.dumps({"env": "pong", "arms": {
+        "ref": {"episodes": [3.0], "mean": 3.0, "std": 0.0,
+                "stderr": 0.0, "n": 1}}}))
+    out = _run("merge_sweeps.py", str(b), str(e2),
+               "--out", str(tmp_path / "m3.json"))
+    assert out.returncode != 0
+    assert "seeds" in (out.stdout + out.stderr).lower()
 
 
 def test_promote_winning_arm_copies_scores(tmp_path):
