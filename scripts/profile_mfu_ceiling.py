@@ -128,28 +128,26 @@ def main():
         print(f"{name:12s} {ms:8.2f} ms  {fl/1e9:8.2f} GF  "
               f"{fl/(ms/1e3)/1e12:6.1f} TF/s", flush=True)
 
-    # Per-train-step occurrence counts at the reference recipe: the loss
-    # scan runs T-2 steps; each step does one transition, one decode, one
-    # reward, one LO slot-advance (S*B batch) and one fresh encode; plus
-    # the initial 3-frame encode (counted in the T fresh encodes).
-    T = args.horizon
-    counts = {"transition": T, "decoder": T, "reward": T,
-              "lo_advance": T, "encoder": T}
-    tot_f = sum(comps[c]["gflop"] * n for c, n in counts.items())
-    tot_t = sum(comps[c]["gflop"] * n / comps[c]["tflops"]
-                for c, n in counts.items())
-    attainable = tot_f / tot_t
+    # Ceiling framing.  Two methodology caveats make a naive
+    # FLOP-weighted mix composition misleading: (a) sub-ms standalone
+    # programs (decoder 19 GF, reward 2.5 GF) are DISPATCH-bound, so
+    # their standalone TF/s wildly understates their fused in-step
+    # rate; (b) per-step occurrence counts depend on which losses are
+    # active.  The robust statement is simpler: the step's FLOPs are
+    # dominated by the transition conv stack (and its LO/S*B-batch
+    # variant), whose STANDALONE fwd+bwd rate at the exact in-step
+    # shapes is the shape-imposed ceiling — no scheduler can run the
+    # step faster than its dominant component runs alone.
+    hot = max(comps["transition"]["tflops"], comps["lo_advance"]["tflops"])
     result = {
-        "env": args.env, "batch": B, "horizon": T,
+        "env": args.env, "batch": B, "horizon": args.horizon,
         "components": comps,
-        "per_step_counts": counts,
-        "mix_gflop_per_train_step": round(tot_f, 1),
-        "attainable_mix_tflops": round(attainable, 1),
-        "note": "attainable = FLOP-weighted harmonic mean of standalone "
-                "component rates at in-step shapes: the rate of a "
-                "perfect scheduler running these exact programs "
-                "back-to-back. Compare BENCH_NOTES' measured in-step "
-                "84 TF/s.",
+        "shape_ceiling_tflops": hot,
+        "note": "shape_ceiling = the dominant (transition-family) "
+                "component's standalone fwd+bwd rate at in-step shapes; "
+                "compare BENCH_NOTES' measured in-step 84 TF/s. Small "
+                "components' standalone rates are dispatch-bound and "
+                "not meaningful.",
     }
     print(json.dumps(result))
 
