@@ -138,7 +138,7 @@ def _play_episodes(
 
 
 # Measured worker-fault boundary (scripts/repro_play64_crash.py, round
-# 5, two passes; matrix in runs/play64_crash_matrix.json): on 64x64
+# 5, two passes; matrix in docs/play64_crash_matrix.json): on 64x64
 # envs, episode-batched beam programs kill the remote TPU worker ("TPU
 # worker process crashed or restarted" — a worker-side fault, not a
 # Python error) as a function of lanes x beam steps, NOT lanes alone:

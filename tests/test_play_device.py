@@ -71,7 +71,7 @@ def test_device_play_is_deterministic_and_writes_scores(setup, tmp_path):
 
 def test_episode_chunk_budget(setup, monkeypatch):
     """The lane-step budget (measured 64x64 worker-fault boundary,
-    runs/play64_crash_matrix.json) maps to per-program episode chunks:
+    docs/play64_crash_matrix.json) maps to per-program episode chunks:
     64x64 ref recipe -> 2 episodes/program, depth 20/30 -> 1, and small
     16x16 envs stay effectively unchunked."""
     from scmgan_tpu.agent.play_device import _episode_chunk, fits_on_device
