@@ -10,6 +10,7 @@ from typing import NamedTuple
 
 import jax
 import jax.numpy as jnp
+import numpy as np
 
 from scmgan_tpu.envs.base import EnvSpec, register
 from scmgan_tpu.envs.raster import rect_mask
@@ -55,6 +56,36 @@ def render(state: State) -> jax.Array:
     return frame.at[:, :, 1].set(ball)
 
 
+TRUE_LATENT_DIM = 2  # ball_x, ball_y
+
+_SIM_CORE = None
+
+
+def simulator(factor_batch) -> "jnp.ndarray":
+    """Factors (B, 2) in [0,1] -> rendered frames, for the Higgins metric.
+
+    The reference defines Higgins simulators only for envs with compact
+    factor renders (betterpong.py:140-172, boxes.py:50-55); gridworld's
+    full state IS two factors (ball x/y over the ``reset`` ranges,
+    gridworld.py:31-36 here), so the extension is exact.  Jitted and
+    cached at module level like the pong simulator (betterpong.py:130)
+    to stay under XLA:CPU's per-process program budget."""
+    factors = jnp.asarray(np.asarray(factor_batch), jnp.float32)
+
+    def one(z):
+        return render(State(
+            ball_x=jnp.int32(z[0] * (GAME_SIZE - 2 * MARGIN_X) + MARGIN_X
+                             + 0.5),
+            ball_y=jnp.int32(z[1] * (GAME_SIZE - 2 * MARGIN_Y) + MARGIN_Y
+                             + 0.5),
+        ))
+
+    global _SIM_CORE
+    if _SIM_CORE is None:
+        _SIM_CORE = jax.jit(jax.vmap(one))
+    return np.asarray(_SIM_CORE(factors))
+
+
 @register("gridworld")
 def make_spec() -> EnvSpec:
     return EnvSpec(
@@ -67,4 +98,6 @@ def make_spec() -> EnvSpec:
         reset=reset,
         step=step,
         render=render,
+        true_latent_dim=TRUE_LATENT_DIM,
+        simulator=simulator,
     )

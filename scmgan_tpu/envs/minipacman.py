@@ -215,6 +215,81 @@ def render(state: State) -> jax.Array:
     return frame
 
 
+# ---------------------------------------------------------------------------
+# Higgins ground-truth factor simulator (extension beyond the reference —
+# the reference defines simulators only for pong/boxes/dsprites-style envs,
+# higgins.py:22-87; the protocol itself is identical).
+#
+# Factor model (5 factors):
+#   0 pac_row, 1 pac_col     — pacman's maze cell
+#   2 ghost_row, 3 ghost_col — ONE varied ghost; the other two stay pinned
+#                              at their spawn cells.  Ghosts are visually
+#                              interchangeable (identical sprites), so
+#                              per-ghost factors would be unidentifiable
+#                              from pixels and cap the metric at chance on
+#                              those rows — one varied ghost keeps the
+#                              ceiling at 1.0.
+#   4 powered               — pill state (binary via 0.5 threshold): flips
+#                              ghost color red -> blue, a CHANNEL-coded
+#                              factor (the conv-sum protocol's home turf,
+#                              vs the spatially-coded position factors).
+#
+# Row/col factors snap to legal (non-wall) cells: the row factor picks
+# among rows containing corridor cells, the col factor among that row's
+# corridor columns — deterministic, and each factor moves its own axis.
+# ---------------------------------------------------------------------------
+
+TRUE_LATENT_DIM = 5
+
+_FREE = ~np.asarray(WALLS)
+_FREE_ROWS = np.asarray([r for r in range(N) if _FREE[r].any()], np.int32)
+_MAXC = int(max(_FREE[r].sum() for r in _FREE_ROWS))
+_FREE_COLS = np.zeros((N, _MAXC), np.int32)
+_NCOLS = np.zeros((N,), np.int32)
+for _r in _FREE_ROWS:
+    _cols = np.flatnonzero(_FREE[_r])
+    _NCOLS[_r] = len(_cols)
+    _FREE_COLS[_r, :len(_cols)] = _cols
+    _FREE_COLS[_r, len(_cols):] = _cols[-1]
+_FREE_ROWS_J = jnp.asarray(_FREE_ROWS)
+_FREE_COLS_J = jnp.asarray(_FREE_COLS)
+_NCOLS_J = jnp.asarray(_NCOLS)
+
+_SIM_CORE = None
+
+
+def _cell_from_factors(fr, fc):
+    r = _FREE_ROWS_J[jnp.clip(jnp.int32(fr * len(_FREE_ROWS)), 0,
+                              len(_FREE_ROWS) - 1)]
+    n = _NCOLS_J[r]
+    c = _FREE_COLS_J[r, jnp.clip(jnp.int32(fc * n), 0, n - 1)]
+    return r, c
+
+
+def simulator(factor_batch) -> np.ndarray:
+    """Factors (B, 5) in [0,1] -> rendered 64x64 frames for Higgins.
+
+    Jitted and cached at module level (pattern of betterpong.py:130) to
+    stay under XLA:CPU's per-process program budget."""
+    factors = jnp.asarray(np.asarray(factor_batch), jnp.float32)
+
+    def one(z):
+        pr, pc = _cell_from_factors(z[0], z[1])
+        gr0, gc0 = _cell_from_factors(z[2], z[3])
+        gr = jnp.array([gr0, _GHOST_STARTS[1][0], _GHOST_STARTS[2][0]],
+                       jnp.int32)
+        gc = jnp.array([gc0, _GHOST_STARTS[1][1], _GHOST_STARTS[2][1]],
+                       jnp.int32)
+        power = jnp.where(z[4] > 0.5, POWER_STEPS, 0).astype(jnp.int32)
+        return render(State(pr, pc, gr, gc, FOOD0, PILLS0, power,
+                            jnp.bool_(True)))
+
+    global _SIM_CORE
+    if _SIM_CORE is None:
+        _SIM_CORE = jax.jit(jax.vmap(one))
+    return np.asarray(_SIM_CORE(factors))
+
+
 @register("minipacman")
 def make_spec() -> EnvSpec:
     return EnvSpec(
@@ -227,4 +302,6 @@ def make_spec() -> EnvSpec:
         reset=reset,
         step=step,
         render=render,
+        true_latent_dim=TRUE_LATENT_DIM,
+        simulator=simulator,
     )

@@ -47,6 +47,10 @@ ZOO = [
     ("minipong", "pretrained_models/minipong_cf"),
     ("boxes", "pretrained_models/boxes_cf"),
     ("pong", "pretrained_models/pong_cf"),
+    # round 5: the remaining flagships, via the new ground-truth factor
+    # simulators (envs/gridworld.py, envs/minipacman.py)
+    ("gridworld", "pretrained_models/gridworld_cf"),
+    ("minipacman", "pretrained_models/minipacman_cf"),
     # ablation grid (5k iters, pong): does the counterfactual recipe
     # change spatial-factor identifiability vs plain BPTT / LO?
     ("pong", "runs/grid_bptt"),

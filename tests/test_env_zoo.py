@@ -27,7 +27,8 @@ def test_env_contract(name, key):
 
 
 @pytest.mark.parametrize("name", ["minipong", "mediumpong", "superpong",
-                                  "boxes", "rotating_boxes"])
+                                  "boxes", "rotating_boxes", "gridworld",
+                                  "minipacman"])
 def test_higgins_simulator(name):
     spec = get_env(name)
     if spec.simulator is None:
@@ -37,6 +38,45 @@ def test_higgins_simulator(name):
     frames = spec.simulator(factors)
     assert frames.shape[0] == 3
     assert np.isfinite(frames).all()
+
+
+def test_gridworld_simulator_factors():
+    """Each factor drives its own image axis, deterministically."""
+    from scmgan_tpu.envs import gridworld as gw
+
+    base = np.full((1, 2), 0.5)
+    f_lo, f_hi = base.copy(), base.copy()
+    f_lo[0, 0], f_hi[0, 0] = 0.1, 0.9
+    lo, hi = gw.simulator(f_lo)[0], gw.simulator(f_hi)[0]
+    # factor 0 is ball_x -> the green mass's x-centroid moves right
+    xs = np.arange(gw.GAME_SIZE)[None, :]
+    cx = lambda img: (img[:, :, 1] * xs).sum() / img[:, :, 1].sum()
+    assert cx(hi) > cx(lo) + 4
+    # determinism
+    assert np.array_equal(gw.simulator(base), gw.simulator(base))
+
+
+def test_minipacman_simulator_factors():
+    from scmgan_tpu.envs import minipacman as mp
+
+    base = np.full((1, 5), 0.4)
+    # pacman factors move the yellow (R+G, no B) sprite; positions snap to
+    # corridor cells (never onto a wall)
+    f2 = base.copy()
+    f2[0, 0], f2[0, 1] = 0.9, 0.9
+    a, b = mp.simulator(base)[0], mp.simulator(f2)[0]
+    pac_a = (a[:, :, 0] >= 1.0) & (a[:, :, 1] >= 1.0)
+    pac_b = (b[:, :, 0] >= 1.0) & (b[:, :, 1] >= 1.0)
+    assert pac_a.any() and pac_b.any()
+    assert not np.array_equal(pac_a, pac_b)
+    walls = np.repeat(np.repeat(np.asarray(mp.WALLS), mp.SCALE, 0),
+                      mp.SCALE, 1)
+    assert not (pac_a & walls).any() and not (pac_b & walls).any()
+    # factor 4 (power) flips the varied ghost's color red -> blue
+    f3 = base.copy()
+    f3[0, 4] = 0.9
+    c = mp.simulator(f3)[0]
+    assert (c[:, :, 2] >= 1.0).sum() > (a[:, :, 2] >= 1.0).sum()
 
 
 def test_minipong_wraps(key):
